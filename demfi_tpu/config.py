@@ -1,0 +1,114 @@
+"""Configuration for DeMFI-TPU.
+
+Mirrors the reference CLI flag surface (/root/reference/main.py:22-127) as a
+typed dataclass, plus TPU-specific extensions (mesh shape, compute dtype,
+t-batching) that have no reference analogue.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+
+@dataclasses.dataclass
+class DeMFIConfig:
+    # ---- experiment management (main.py:26-44) ----
+    net_type: str = "DeMFInet"
+    exp_num: int = 1
+    phase: str = "test"  # train | test | test_custom
+    test_epoch_point: Optional[int] = None
+    fine_tuning: bool = False
+    fine_tuning_epoch_point: Optional[int] = None
+    test_img_dir: str = "./test_img_dir"
+    text_dir: str = "./text_dir"
+    checkpoint_dir: str = "./checkpoint_dir"
+    log_dir: str = "./log_dir"
+
+    # ---- datasets (main.py:47-54) ----
+    train_data_path: str = "./Datasets/Adobe_240fps_blur"
+    test_data_path: str = "./Datasets/Adobe_240fps_blur"
+    t_step_size: int = 8      # K in the paper
+    t_sampling_num: int = 8
+
+    # ---- training hyperparameters (main.py:67-94) ----
+    epochs: int = 7500
+    freq_display: int = 25
+    epoch_freq_display: int = 50
+    epoch_freq_save: int = 50
+    init_lr: float = 1e-4
+    lr_type: str = "stair_decay"
+    lr_dec_fac: float = 0.5
+    lr_milestones: Sequence[int] = (3750, 6250, 7250)
+    lr_dec_start: int = 0
+    batch_size: int = 2
+    weight_decay: float = 0.0
+    need_patch: bool = True
+    img_ch: int = 3
+    nf: int = 64
+    scale_factor: int = 2
+    patch_size: int = 256
+    num_thrds: int = 8
+    loss_type: str = "L1"  # L1 | MSE | L1_Charbonnier_loss
+
+    # ---- architecture (main.py:97-101) ----
+    num_ResB_FACFB: int = 5
+    num_ResB_Dec: int = 5
+    N_trn: int = 5
+    N_tst: int = 3
+    shared_FGAC_flag: bool = True
+    # FGAC correlation radii. The released model is point-wise (rr=sr=0,
+    # DeMFInet.py:401-402); the generalized window form is supported.
+    fgac_rr: int = 0
+    fgac_sr: int = 0
+
+    # ---- loss lambdas (main.py:104-105) ----
+    rec_D1_lambda: float = 1.0
+    rec_D2_lambda: float = 1.0
+
+    # ---- test settings (main.py:108-121) ----
+    load_best_PSNR_flag: bool = False
+    visualization_flag: bool = False
+    test_patch: Tuple[int, int] = (1, 1)
+    patch_boundary: int = 32
+    multiple_MFI: int = 8
+
+    # ---- test_custom (main.py:124-125) ----
+    custom_path: str = "./custom_path"
+
+    # ---- TPU-native extensions (no reference analogue) ----
+    # Compute dtype for the conv backbone. Params are always float32.
+    # "float32" reproduces PyTorch numerics; "bfloat16" roughly doubles
+    # MXU throughput at a small PSNR cost.
+    compute_dtype: str = "float32"
+    # Mesh axes: data parallel x spatial (tile) parallel.
+    mesh_data: int = 1
+    mesh_spatial: int = 1
+    # Batch all M-1 t-values of a window in a single device batch during
+    # eval (the reference re-runs the whole network per t, main.py:733-748).
+    t_batched_eval: bool = True
+    # Remat (checkpoint) the RDB backbone during training to trade FLOPs
+    # for HBM.
+    remat_backbone: bool = False
+    seed: int = 0
+
+    @property
+    def model_dir(self) -> str:
+        return f"{self.net_type}_exp{self.exp_num}"
+
+    def lr_at_epoch(self, epoch: int) -> float:
+        """MultiStepLR semantics (main.py:186): lr halves at each milestone."""
+        if self.lr_type == "no_decay":
+            return self.init_lr
+        n = sum(1 for m in self.lr_milestones if m <= epoch)
+        return self.init_lr * (self.lr_dec_fac ** n)
+
+
+# Named model variants from Table 2 (figures/Table2.PNG).
+def config_bs(**kw) -> DeMFIConfig:
+    """DeMFI-Net_bs: Stage I only (N boosting iterations = 0)."""
+    return DeMFIConfig(N_trn=0, N_tst=0, **kw)
+
+
+def config_rb(n_trn: int = 5, n_tst: int = 3, **kw) -> DeMFIConfig:
+    """DeMFI-Net_rb(N_trn, N_tst): recursive boosting."""
+    return DeMFIConfig(N_trn=n_trn, N_tst=n_tst, **kw)

@@ -1,0 +1,217 @@
+"""Warping primitives (NHWC, TPU-native).
+
+These are the four irregular-memory ops the reference delegates to
+ATen/cuDNN kernels, rebuilt with XLA gathers/scatters (a fused Pallas
+variant lives in demfi_tpu/ops/pallas_kernels.py):
+
+  - :func:`bwarp`              backward warp == F.grid_sample(align_corners=True,
+                               padding_mode='zeros') + 0.999 hard mask
+                               (/root/reference/DeMFInet.py:732-766)
+  - :func:`bilinear_sample_abs` FGAC's sampler: bilinear gather at *absolute*
+                               pixel coordinates (the reference quirk: FGAC
+                               samples at raw flow values with no base grid,
+                               DeMFInet.py:413-419, 499-514)
+  - :func:`fwarp`              forward warp: Gaussian-weighted scatter-add to
+                               the 4 corner pixels (DeMFInet.py:625-729)
+  - :func:`cfr_flow_t_align`   Complementary Flow Reversal
+                               (DeMFInet.py:606-622)
+  - :func:`fgac_correlate`     generalized window correlation (degenerate
+                               identity at rr=sr=0, DeMFInet.py:401-443)
+
+Conventions: images [B, H, W, C]; flows [B, H, W, 2] with channel 0 = dx
+(displacement along W) and channel 1 = dy (along H). XLA scatter-add is
+deterministic, unlike the CUDA atomics in the reference — a fidelity
+improvement, so tests compare with tolerance rather than bitwise.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def _gather2d(img: jnp.ndarray, yi: jnp.ndarray, xi: jnp.ndarray) -> jnp.ndarray:
+    """Gather img[b, yi[b,h,w], xi[b,h,w], :] -> [B, Hq, Wq, C].
+
+    Indices must already be clipped in-bounds.
+    """
+    b, h, w, c = img.shape
+    flat = img.reshape(b, h * w, c)
+    idx = (yi * w + xi).reshape(b, -1, 1)
+    out = jnp.take_along_axis(flat, idx, axis=1)
+    return out.reshape(yi.shape + (c,))
+
+
+def _bilinear_zeros(img: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Bilinear sample with zero padding at pixel coords (px, py).
+
+    Matches torch.nn.functional.grid_sample(mode='bilinear',
+    padding_mode='zeros', align_corners=True) after the grid
+    normalization round-trip: any of the 4 corner taps that falls
+    outside the image contributes zero.
+
+    Returns (sampled [B,Hq,Wq,C], in_bounds_weight [B,Hq,Wq,1]) where the
+    second value is the same bilinear sample of an all-ones image (used
+    for the reference's hard occlusion mask).
+    """
+    b, h, w, c = img.shape
+    x0 = jnp.floor(px)
+    y0 = jnp.floor(py)
+    fx = px - x0
+    fy = py - y0
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+
+    out = None
+    ones = None
+    for dy in (0, 1):
+        for dx in (0, 1):
+            xi = x0 + dx
+            yi = y0 + dy
+            valid = ((xi >= 0) & (xi < w) & (yi >= 0) & (yi < h))
+            wgt = (fx if dx else 1.0 - fx) * (fy if dy else 1.0 - fy)
+            wgt = wgt * valid.astype(img.dtype)
+            tap = _gather2d(img, jnp.clip(yi, 0, h - 1), jnp.clip(xi, 0, w - 1))
+            contrib = tap * wgt[..., None]
+            out = contrib if out is None else out + contrib
+            ones = wgt if ones is None else ones + wgt
+    return out, ones[..., None]
+
+
+def bwarp(x: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+    """Backward-warp x by flow with the reference's hard validity mask.
+
+    out(p) = x(p + flow(p)), bilinear, zero padding; multiplied by a
+    binary mask that zeroes any pixel whose warped all-ones sample is
+    < 0.999 (DeMFInet.py:758-766).
+    """
+    b, h, w, c = x.shape
+    gx = jnp.arange(w, dtype=x.dtype)[None, None, :]
+    gy = jnp.arange(h, dtype=x.dtype)[None, :, None]
+    px = gx + flow[..., 0]
+    py = gy + flow[..., 1]
+    out, ones = _bilinear_zeros(x, px, py)
+    mask = (ones >= 0.999).astype(x.dtype)
+    return out * mask
+
+
+def bilinear_sample_abs(img: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample at absolute pixel coordinates (FGAC sampler).
+
+    coords [B, Hq, Wq, 2]: channel 0 = x (along W), channel 1 = y (along H).
+    Equivalent to the reference's bilinear_sampler (DeMFInet.py:499-514):
+    grid_sample with align_corners=True and zero padding, *without* adding
+    any base meshgrid (the trained-in FGAC absolute-coordinate behavior).
+    """
+    out, _ = _bilinear_zeros(img, coords[..., 0], coords[..., 1])
+    return out
+
+
+def fwarp(img: jnp.ndarray, flo: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Forward warp by scatter-adding to the 4 corner pixels.
+
+    Each source pixel p is splatted to the four integer corners around
+    p + flo(p) with Gaussian weights exp(-(d_r^2 + d_c^2)) of the
+    fractional offsets (DeMFInet.py:654-680). Returns (warped [B,H,W,C],
+    weight_norm [B,H,W,1]); the caller normalizes (the reference keeps C
+    identical copies of the norm, DeMFInet.py:726-729 — one channel here).
+
+    All four taps are fused into a single XLA scatter-add over C+1
+    channels (image channels + the weight normalizer).
+    """
+    b, h, w, c = img.shape
+    dc = flo[..., 0]  # along W
+    dr = flo[..., 1]  # along H
+    c1 = jnp.floor(dc)
+    r1 = jnp.floor(dr)
+    fc = dc - c1
+    fr = dr - r1
+    c1 = c1.astype(jnp.int32)
+    r1 = r1.astype(jnp.int32)
+
+    base_r = jnp.arange(h, dtype=jnp.int32)[None, :, None]
+    base_c = jnp.arange(w, dtype=jnp.int32)[None, None, :]
+    bidx = jnp.broadcast_to(jnp.arange(b, dtype=jnp.int32)[:, None, None], (b, h, w))
+
+    # image + ones fused: last channel accumulates the weight normalizer
+    vals = jnp.concatenate([img, jnp.ones((b, h, w, 1), img.dtype)], axis=-1)
+    acc = jnp.zeros((b, h, w, c + 1), img.dtype)
+    for ddr in (0, 1):
+        for ddc in (0, 1):
+            wgt = jnp.exp(-((fr - ddr) ** 2 + (fc - ddc) ** 2))
+            tr = base_r + r1 + ddr
+            tc = base_c + c1 + ddc
+            valid = ((tr >= 0) & (tr < h) & (tc >= 0) & (tc < w))
+            wgt = wgt * valid.astype(img.dtype)
+            tr = jnp.clip(tr, 0, h - 1)
+            tc = jnp.clip(tc, 0, w - 1)
+            acc = acc.at[bidx, tr, tc].add(vals * wgt[..., None])
+    return acc[..., :c], acc[..., c:]
+
+
+def cfr_flow_t_align(flow_01: jnp.ndarray, flow_10: jnp.ndarray,
+                     t: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Complementary Flow Reversal (from XVFI; DeMFInet.py:606-622).
+
+    flow_01/flow_10: [B,H,W,2]; t: broadcastable to [B,1,1,1].
+    Returns (flow_t0, flow_t1).
+    """
+    t = jnp.reshape(t, (-1, 1, 1, 1)).astype(flow_01.dtype)
+    w01, n0 = fwarp(flow_01, t * flow_01)
+    w10, n1 = fwarp(flow_10, (1.0 - t) * flow_10)
+
+    flow_t0 = -(1.0 - t) * t * w01 + t * t * w10
+    flow_t1 = (1.0 - t) * (1.0 - t) * w01 - t * (1.0 - t) * w10
+
+    norm = (1.0 - t) * n0 + t * n1
+    mask = (jax.lax.stop_gradient(norm) > 0).astype(flow_01.dtype)
+    denom = norm + (1.0 - mask)
+    flow_t0 = (1.0 - mask) * flow_t0 + mask * (flow_t0 / denom)
+    flow_t1 = (1.0 - mask) * flow_t1 + mask * (flow_t1 / denom)
+    return flow_t0, flow_t1
+
+
+def _avg_pool_same(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """F.avg_pool2d(kernel=k, stride=1, padding=k//2) with
+    count_include_pad=True (torch default). Identity for k == 1."""
+    if k == 1:
+        return x
+    p = k // 2
+    xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
+    win = jax.lax.reduce_window(
+        xp, 0.0, jax.lax.add, (1, k, k, 1), (1, 1, 1, 1), "VALID")
+    return win / float(k * k)
+
+
+def fgac_correlate(ref_k: jnp.ndarray, source_k: jnp.ndarray,
+                   flow: jnp.ndarray, rr: int = 0, sr: int = 0) -> jnp.ndarray:
+    """Flow-Guided Attentive Correlation aggregation (Eq. 3).
+
+    Samples ref_k at the *absolute* coordinates given by flow (+ window
+    offsets for rr > 0), correlates with source_k over channels, softmaxes
+    over the (2rr+1)^2 window and returns the attention-weighted sum.
+
+    At the released-model setting rr = sr = 0 (DeMFInet.py:401-402) the
+    window is a single tap and softmax == 1, so this reduces to a pure
+    bilinear gather of ref_k at the flow coordinates.
+    """
+    ref_k = _avg_pool_same(ref_k, 2 * sr + 1)
+    if rr == 0:
+        return bilinear_sample_abs(ref_k, flow)
+
+    source_k = _avg_pool_same(source_k, 2 * sr + 1)
+    offs = jnp.arange(-rr, rr + 1, dtype=flow.dtype)
+    taps = []
+    corrs = []
+    for oy in range(2 * rr + 1):
+        for ox in range(2 * rr + 1):
+            delta = jnp.stack([offs[ox], offs[oy]])
+            tap = bilinear_sample_abs(ref_k, flow + delta)
+            taps.append(tap)
+            corrs.append(jnp.sum(tap * source_k, axis=-1))
+    taps = jnp.stack(taps, axis=-2)          # [B,H,W,K,C]
+    corr = jnp.stack(corrs, axis=-1)          # [B,H,W,K]
+    attn = jax.nn.softmax(corr, axis=-1)
+    return jnp.sum(taps * attn[..., None], axis=-2)

@@ -1,0 +1,190 @@
+"""L0 op parity tests against PyTorch oracles.
+
+The reference's numerics live in ATen (grid_sample, put_, PixelShuffle);
+torch (CPU) is available in the image, so these tests compare our NHWC
+JAX ops directly against the torch functional ops the reference calls —
+without importing any reference code.
+"""
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as TF
+import jax.numpy as jnp
+
+from demfi_tpu.ops import (
+    space_to_depth, depth_to_space, bwarp, bilinear_sample_abs, fwarp,
+    cfr_flow_t_align, fgac_correlate,
+)
+
+RNG = np.random.RandomState(0)
+
+
+def nchw(x_nhwc):
+    return np.transpose(x_nhwc, (0, 3, 1, 2))
+
+
+def nhwc(x_nchw):
+    return np.transpose(x_nchw, (0, 2, 3, 1))
+
+
+# ---------------------------------------------------------------- reshape
+def test_space_to_depth_matches_torch_pixel_reshuffle_order():
+    # torch reference ordering: view(B,C,H/r,r,W/r,r).permute(0,1,3,5,2,4)
+    x = RNG.randn(2, 12, 10, 3).astype(np.float32)  # NHWC
+    r = 2
+    xt = torch.from_numpy(nchw(x))
+    b, c, h, w = xt.shape
+    v = xt.reshape(b, c, h // r, r, w // r, r)
+    want = v.permute(0, 1, 3, 5, 2, 4).reshape(b, c * r * r, h // r, w // r)
+    got = np.asarray(space_to_depth(jnp.asarray(x), r))
+    np.testing.assert_allclose(got, nhwc(want.numpy()), rtol=0, atol=0)
+
+
+def test_depth_to_space_matches_torch_pixel_shuffle():
+    x = RNG.randn(2, 5, 7, 36).astype(np.float32)  # NHWC, C=36=9*4
+    r = 2
+    want = TF.pixel_shuffle(torch.from_numpy(nchw(x)), r).numpy()
+    got = np.asarray(depth_to_space(jnp.asarray(x), r))
+    np.testing.assert_allclose(got, nhwc(want), rtol=0, atol=0)
+
+
+def test_space_depth_roundtrip():
+    x = RNG.randn(1, 8, 8, 5).astype(np.float32)
+    y = depth_to_space(space_to_depth(jnp.asarray(x), 2), 2)
+    np.testing.assert_array_equal(np.asarray(y), x)
+
+
+# ---------------------------------------------------------------- bwarp
+def torch_bwarp(x, flo):
+    """Oracle reproducing the reference bwarp semantics
+    (DeMFInet.py:732-766) from torch primitives."""
+    B, C, H, W = x.shape
+    xx = torch.arange(0, W).view(1, 1, 1, W).expand(B, 1, H, W)
+    yy = torch.arange(0, H).view(1, 1, H, 1).expand(B, 1, H, W)
+    grid = torch.cat((xx, yy), 1).float() + flo
+    grid[:, 0] = 2.0 * grid[:, 0] / max(W - 1, 1) - 1.0
+    grid[:, 1] = 2.0 * grid[:, 1] / max(H - 1, 1) - 1.0
+    grid = grid.permute(0, 2, 3, 1)
+    out = TF.grid_sample(x, grid, align_corners=True)
+    mask = TF.grid_sample(torch.ones_like(x), grid, align_corners=True)
+    mask = (mask >= 0.999).float()
+    return out * mask
+
+
+@pytest.mark.parametrize("scale", [0.5, 3.0, 12.0])
+def test_bwarp_matches_grid_sample(scale):
+    B, H, W, C = 2, 13, 17, 4
+    x = RNG.randn(B, H, W, C).astype(np.float32)
+    flo = (RNG.randn(B, H, W, 2) * scale).astype(np.float32)
+    want = torch_bwarp(torch.from_numpy(nchw(x)),
+                       torch.from_numpy(nchw(flo))).numpy()
+    got = np.asarray(bwarp(jnp.asarray(x), jnp.asarray(flo)))
+    np.testing.assert_allclose(got, nhwc(want), rtol=1e-5, atol=1e-5)
+
+
+def test_bilinear_sample_abs_matches_reference_sampler():
+    """FGAC quirk: sample at raw flow values as absolute coordinates."""
+    B, H, W, C = 1, 9, 11, 8
+    img = RNG.randn(B, H, W, C).astype(np.float32)
+    coords = (RNG.randn(B, H, W, 2) * 4 + 3).astype(np.float32)
+
+    # oracle: normalize exactly like bilinear_sampler (DeMFInet.py:499-514)
+    xg = torch.from_numpy(coords[..., 0:1])
+    yg = torch.from_numpy(coords[..., 1:2])
+    xg = 2 * xg / (W - 1) - 1
+    yg = 2 * yg / (H - 1) - 1
+    grid = torch.cat([xg, yg], dim=-1)
+    want = TF.grid_sample(torch.from_numpy(nchw(img)), grid,
+                          align_corners=True).numpy()
+    got = np.asarray(bilinear_sample_abs(jnp.asarray(img), jnp.asarray(coords)))
+    np.testing.assert_allclose(got, nhwc(want), rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------- fwarp
+def np_fwarp(img, flo):
+    """Pure-numpy oracle of the reference fwarp (DeMFInet.py:625-729):
+    floor the (row, col) displacements, Gaussian corner weights,
+    bounds-masked scatter-add of image*w and w."""
+    B, H, W, C = img.shape
+    out = np.zeros_like(img)
+    norm = np.zeros((B, H, W, 1), img.dtype)
+    dc, dr = flo[..., 0], flo[..., 1]
+    r1, c1 = np.floor(dr), np.floor(dc)
+    fr, fc = dr - r1, dc - c1
+    for ddr in (0, 1):
+        for ddc in (0, 1):
+            wgt = np.exp(-((fr - ddr) ** 2 + (fc - ddc) ** 2))
+            for b in range(B):
+                for i in range(H):
+                    for j in range(W):
+                        ti = i + int(r1[b, i, j]) + ddr
+                        tj = j + int(c1[b, i, j]) + ddc
+                        if 0 <= ti < H and 0 <= tj < W:
+                            out[b, ti, tj] += img[b, i, j] * wgt[b, i, j]
+                            norm[b, ti, tj, 0] += wgt[b, i, j]
+    return out, norm
+
+
+def test_fwarp_matches_scatter_oracle():
+    B, H, W, C = 2, 7, 9, 2
+    img = RNG.randn(B, H, W, C).astype(np.float32)
+    flo = (RNG.randn(B, H, W, 2) * 2.5).astype(np.float32)
+    want_img, want_norm = np_fwarp(img, flo)
+    got_img, got_norm = fwarp(jnp.asarray(img), jnp.asarray(flo))
+    np.testing.assert_allclose(np.asarray(got_img), want_img, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_norm), want_norm, rtol=1e-5, atol=1e-5)
+
+
+def test_cfr_matches_composed_oracle():
+    B, H, W = 1, 8, 10
+    f01 = (RNG.randn(B, H, W, 2) * 1.5).astype(np.float32)
+    f10 = (RNG.randn(B, H, W, 2) * 1.5).astype(np.float32)
+    t = np.array([0.375], np.float32)
+
+    w01, n0 = np_fwarp(f01, t * f01)
+    w10, n1 = np_fwarp(f10, (1 - t) * f10)
+    tv = float(t[0])
+    ft0 = -(1 - tv) * tv * w01 + tv * tv * w10
+    ft1 = (1 - tv) ** 2 * w01 - tv * (1 - tv) * w10
+    norm = (1 - tv) * n0 + tv * n1
+    mask = (norm > 0).astype(np.float32)
+    ft0 = (1 - mask) * ft0 + mask * (ft0 / (norm + (1 - mask)))
+    ft1 = (1 - mask) * ft1 + mask * (ft1 / (norm + (1 - mask)))
+
+    got0, got1 = cfr_flow_t_align(jnp.asarray(f01), jnp.asarray(f10),
+                                  jnp.asarray(t))
+    np.testing.assert_allclose(np.asarray(got0), ft0, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got1), ft1, rtol=1e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------- fgac
+def test_fgac_degenerate_is_plain_abs_gather():
+    B, H, W, C = 1, 6, 6, 4
+    ref = RNG.randn(B, H, W, C).astype(np.float32)
+    src = RNG.randn(B, H, W, C).astype(np.float32)
+    flow = (RNG.randn(B, H, W, 2) * 2).astype(np.float32)
+    got = fgac_correlate(jnp.asarray(ref), jnp.asarray(src), jnp.asarray(flow),
+                         rr=0, sr=0)
+    want = bilinear_sample_abs(jnp.asarray(ref), jnp.asarray(flow))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=0)
+
+
+def test_fgac_general_window_softmax_normalized():
+    B, H, W, C = 1, 5, 5, 3
+    ref = RNG.randn(B, H, W, C).astype(np.float32)
+    src = RNG.randn(B, H, W, C).astype(np.float32)
+    flow = np.zeros((B, H, W, 2), np.float32)
+    out = np.asarray(fgac_correlate(jnp.asarray(ref), jnp.asarray(src),
+                                    jnp.asarray(flow), rr=1, sr=0))
+    assert out.shape == (B, H, W, C)
+    assert np.isfinite(out).all()
+
+
+def test_fgac_avg_pool_matches_torch():
+    from demfi_tpu.ops.warp import _avg_pool_same
+    x = RNG.randn(2, 9, 11, 3).astype(np.float32)
+    for k in (1, 3, 5):
+        want = TF.avg_pool2d(torch.from_numpy(nchw(x)), (k, k), (1, 1),
+                             padding=k // 2).numpy()
+        got = np.asarray(_avg_pool_same(jnp.asarray(x), k))
+        np.testing.assert_allclose(got, nhwc(want), rtol=1e-5, atol=1e-6)
