@@ -1,0 +1,554 @@
+"""DeMFI-Net in Flax (NHWC, TPU-native).
+
+Architecture parity with the reference model (/root/reference/DeMFInet.py):
+Stage I (feature-flow warping & blending + FAC-FB + refine U-Net + joint 3D
+decoder) and Stage II (recursive boosting with a separable ConvGRU). The
+module/parameter naming mirrors the reference's torch attribute names with
+``.N`` list indices flattened to ``_N`` so that released ``.pt`` checkpoints
+convert mechanically (see demfi_tpu/checkpoint/convert.py).
+
+TPU-first design decisions (not translations):
+  - NHWC layout end-to-end; convs hit the MXU directly.
+  - The reference's Conv3d layers all have temporal extent 1
+    (DeMFInet.py:30-34, 532), so the "3D" decoder is three frames folded
+    into the batch axis sharing one 2D conv — identical math, better
+    batching.
+  - ``extract()`` (t-independent: RDB backbone + FAC-FB) is split from
+    ``synthesize()`` (t-dependent) so arbitrary-M interpolation vmaps all
+    t-values over a single backbone pass; the reference re-runs the whole
+    network per t (main.py:733-748).
+  - Recursive boosting unrolls the static ``num_update`` (1/3/5) like the
+    reference's Python loop; per-iteration outputs are stacked.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from demfi_tpu.config import DeMFIConfig
+from demfi_tpu.ops import (
+    bwarp,
+    cfr_flow_t_align,
+    depth_to_space,
+    fgac_correlate,
+    space_to_depth,
+)
+
+Array = jnp.ndarray
+
+_init = nn.initializers.xavier_normal()
+
+
+def _conv(features: int, k: int = 3, stride: int = 1, pad: Optional[int] = None,
+          name: Optional[str] = None, dtype=jnp.float32) -> nn.Conv:
+    if pad is None:
+        pad = (k - 1) // 2
+    return nn.Conv(features, (k, k), strides=(stride, stride),
+                   padding=((pad, pad), (pad, pad)), use_bias=True,
+                   kernel_init=_init, dtype=dtype, name=name)
+
+
+def _minmax_norm(v: Array) -> Array:
+    """Per-sample min-max normalization over H, W (DeMFInet.py:457-462)."""
+    lo = jnp.min(v, axis=(1, 2, 3), keepdims=True)
+    v = v - lo
+    hi = jnp.max(v, axis=(1, 2, 3), keepdims=True)
+    return v / hi
+
+
+def _t_blend(a: Array, b: Array, occ_0: Array, t: Array) -> Array:
+    """Occlusion-weighted temporal blend, Eq.(2) (DeMFInet.py:68-71)."""
+    occ_1 = 1.0 - occ_0
+    num = (1.0 - t) * occ_0 * a + t * occ_1 * b
+    den = (1.0 - t) * occ_0 + t * occ_1
+    return num / den
+
+
+# --------------------------------------------------------------------------
+# Stage I building blocks
+# --------------------------------------------------------------------------
+class RDBConv(nn.Module):
+    """One dense conv of an RDB (DeMFInet.py:275-287): conv+relu, concat."""
+    growth: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        out = nn.relu(_conv(self.growth, 3, dtype=self.dtype, name="conv_0")(x))
+        return jnp.concatenate([x, out], axis=-1)
+
+
+class RDB(nn.Module):
+    """Residual dense block (DeMFInet.py:256-272)."""
+    g0: int
+    growth: int
+    n_convs: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        h = x
+        for i in range(self.n_convs):
+            h = RDBConv(self.growth, self.dtype, name=f"convs_{i}")(h)
+        return _conv(self.g0, 1, dtype=self.dtype, name="LFF")(h) + x
+
+
+class FFRDB(nn.Module):
+    """Feature & flow extractor (DeMFInet.py:189-253).
+
+    4 blurry frames -> space_to_depth(2) -> RDN backbone at half
+    resolution -> pixel-shuffle head -> (F0, F1, flow_01, flow_10,
+    occ_0_logit) at full resolution.
+    """
+    nf: int
+    scale_factor: int = 2
+    g0: int = 96
+    num_rdb: int = 12
+    n_convs: int = 4
+    growth: int = 32
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, frames: Array) -> Tuple[Array, Array, Array, Array, Array]:
+        # frames: [B, H, W, 12] = concat(B0, B1, Bm1, B2)
+        x = space_to_depth(frames, self.scale_factor)
+        f1 = _conv(self.g0, 5, dtype=self.dtype, name="SFENet1")(x)
+        x = _conv(self.g0, 3, dtype=self.dtype, name="SFENet2")(f1)
+
+        rdb_outs = []
+        for i in range(self.num_rdb):
+            x = RDB(self.g0, self.growth, self.n_convs, self.dtype,
+                    name=f"RDBs_{i}")(x)
+            rdb_outs.append(x)
+        x = _conv(self.g0, 1, dtype=self.dtype, name="GFF_0")(
+            jnp.concatenate(rdb_outs, axis=-1))
+        x = _conv(self.g0, 3, dtype=self.dtype, name="GFF_1")(x)
+        x = x + f1
+
+        x = _conv(256, 3, dtype=self.dtype, name="UPNet_0")(x)
+        x = depth_to_space(x, 2)
+        s = _conv(self.nf * 2 + 4 + 1, 3, dtype=self.dtype, name="UPNet_2")(x)
+
+        f0f1 = jnp.tanh(s[..., : 2 * self.nf])
+        flow_01 = s[..., 2 * self.nf: 2 * self.nf + 2].astype(jnp.float32)
+        flow_10 = s[..., 2 * self.nf + 2: 2 * self.nf + 4].astype(jnp.float32)
+        occ = s[..., 2 * self.nf + 4: 2 * self.nf + 5]
+        return (f0f1[..., : self.nf], f0f1[..., self.nf:],
+                flow_01, flow_10, occ)
+
+
+class ResBlock(nn.Module):
+    """conv-relu-conv residual block, no BN (DeMFInet.py:545-563)."""
+    nf: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        h = nn.relu(_conv(self.nf, 3, dtype=self.dtype, name="conv1")(x))
+        h = _conv(self.nf, 3, dtype=self.dtype, name="conv2")(h)
+        return x + h
+
+
+class FGAC(nn.Module):
+    """Flow-Guided Attentive Correlation (DeMFInet.py:361-496).
+
+    Correlates source keys with ref keys gathered at the raw flow values
+    (absolute-coordinate quirk preserved), then gates the aggregated
+    feature against the source (Eq. 3-4).
+    """
+    nf: int
+    rr: int = 0
+    sr: int = 0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, ref: Array, source: Array, flow_s2r: Array
+                 ) -> Tuple[Array, Array, Array]:
+        ref_k = _conv(self.nf, 1, dtype=self.dtype, name="conv_ref_k")(ref)
+        source_k = _conv(self.nf, 1, dtype=self.dtype, name="conv_source_k")(source)
+
+        fac = fgac_correlate(ref_k.astype(jnp.float32),
+                             source_k.astype(jnp.float32),
+                             flow_s2r.astype(jnp.float32),
+                             rr=self.rr, sr=self.sr).astype(self.dtype)
+        e_s = _conv(self.nf, 1, dtype=self.dtype, name="fusion")(fac)
+        w = nn.sigmoid(_conv(1, 3, dtype=self.dtype, name="w_gen_2")(
+            nn.relu(_conv(self.nf, 3, dtype=self.dtype, name="w_gen")(
+                jnp.concatenate([source, e_s], axis=-1)))))
+        bolstered = w * source + (1.0 - w) * e_s
+
+        diff = _minmax_norm(jnp.mean(jnp.abs(bolstered - source), axis=-1,
+                                     keepdims=True))
+        return bolstered, w, diff
+
+
+class FACFB(nn.Module):
+    """Feature bolstering with (shared) FGAC (DeMFInet.py:319-358)."""
+    nf: int
+    num_res_blocks: int
+    shared: bool = True
+    rr: int = 0
+    sr: int = 0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, f0: Array, f1: Array, flow_10: Array, flow_01: Array):
+        b, h, w, c = f0.shape
+        x = jnp.stack([f0, f1], axis=1).reshape(b * 2, h, w, c)
+        x = nn.relu(_conv(self.nf, 3, dtype=self.dtype, name="conv_first")(x))
+        for i in range(self.num_res_blocks):
+            x = ResBlock(self.nf, self.dtype, name=f"feature_extraction_{i}")(x)
+        enc = x.reshape(b, 2, h, w, self.nf)
+        enc0, enc1 = enc[:, 0], enc[:, 1]
+
+        if self.shared:
+            fgac = FGAC(self.nf, self.rr, self.sr, self.dtype, name="shared_FGAC")
+            a_f0, bw0, d10 = fgac(enc1, enc0, flow_01)   # F1 -> F0
+            a_f1, bw1, d01 = fgac(enc0, enc1, flow_10)   # F0 -> F1
+        else:
+            a_f0, bw0, d10 = FGAC(self.nf, self.rr, self.sr, self.dtype,
+                                  name="FGAC_F1toF0")(enc1, enc0, flow_01)
+            a_f1, bw1, d01 = FGAC(self.nf, self.rr, self.sr, self.dtype,
+                                  name="FGAC_F0toF1")(enc0, enc1, flow_10)
+        return a_f0, a_f1, (bw0, bw1), (d10, d01)
+
+
+class RefineUNet(nn.Module):
+    """3-level strided-conv U-Net (DeMFInet.py:566-603)."""
+    nf: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        nf = self.nf
+        e1 = nn.relu(_conv(nf, 4, 2, 1, dtype=self.dtype, name="enc1")(x))
+        e2 = nn.relu(_conv(2 * nf, 4, 2, 1, dtype=self.dtype, name="enc2")(e1))
+        h = nn.relu(_conv(4 * nf, 4, 2, 1, dtype=self.dtype, name="enc3")(e2))
+
+        h = nn.relu(_conv(4 * nf, 3, dtype=self.dtype, name="dec0")(h))
+        h = _nearest_up2(h)
+        h = nn.relu(_conv(2 * nf, 3, dtype=self.dtype, name="dec1")(
+            jnp.concatenate([h, e2], axis=-1)))
+        h = _nearest_up2(h)
+        h = nn.relu(_conv(nf, 3, dtype=self.dtype, name="dec2")(
+            jnp.concatenate([h, e1], axis=-1)))
+        h = _nearest_up2(h)
+        return _conv(2 * 2 + 1 + 2 * nf, 3, dtype=self.dtype, name="dec3")(h)
+
+
+def _nearest_up2(x: Array) -> Array:
+    """UpsamplingNearest2d(scale_factor=2)."""
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, 2 * h, 2 * w, c)
+
+
+# --------------------------------------------------------------------------
+# Stage II (recursive boosting)
+# --------------------------------------------------------------------------
+class Mixer(nn.Module):
+    """Two-branch ref/delta encoder (DeMFInet.py:796-824)."""
+    nf: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, ref: Array, delta: Array) -> Array:
+        nf = self.nf
+        r = nn.relu(_conv(nf // 2, 7, dtype=self.dtype, name="conv_ref1")(ref))
+        r = nn.relu(_conv(nf // 2, 3, dtype=self.dtype, name="conv_ref2")(r))
+        d = nn.relu(_conv(nf // 2, 7, dtype=self.dtype, name="conv_delta1")(delta))
+        d = nn.relu(_conv(nf // 2, 3, dtype=self.dtype, name="conv_delta2")(d))
+        h = nn.relu(_conv(nf // 2, 3, dtype=self.dtype, name="conv_blend1")(
+            jnp.concatenate([r, d], axis=-1)))
+        return nn.relu(_conv(nf, 3, dtype=self.dtype, name="conv_blend2")(h))
+
+
+class SepConvGRU(nn.Module):
+    """RAFT-style separable ConvGRU (DeMFInet.py:827-857)."""
+    h_dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, h: Array, x: Array) -> Array:
+        def conv1x5(name):
+            return nn.Conv(self.h_dim, (1, 5), padding=((0, 0), (2, 2)),
+                           kernel_init=_init, dtype=self.dtype, name=name)
+
+        def conv5x1(name):
+            return nn.Conv(self.h_dim, (5, 1), padding=((2, 2), (0, 0)),
+                           kernel_init=_init, dtype=self.dtype, name=name)
+
+        hx = jnp.concatenate([h, x], axis=-1)
+        z = nn.sigmoid(conv1x5("convz1")(hx))
+        r = nn.sigmoid(conv1x5("convr1")(hx))
+        q = jnp.tanh(conv1x5("convq1")(jnp.concatenate([r * h, x], axis=-1)))
+        h = (1.0 - z) * h + z * q
+
+        hx = jnp.concatenate([h, x], axis=-1)
+        z = nn.sigmoid(conv5x1("convz2")(hx))
+        r = nn.sigmoid(conv5x1("convr2")(hx))
+        q = jnp.tanh(conv5x1("convq2")(jnp.concatenate([r * h, x], axis=-1)))
+        return (1.0 - z) * h + z * q
+
+
+class FlowOcc(nn.Module):
+    """Delta flow/occlusion head (DeMFInet.py:860-868)."""
+    nf: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        h = nn.relu(_conv(self.nf // 2, 3, dtype=self.dtype, name="conv1")(x))
+        return _conv(5, 3, dtype=self.dtype, name="conv2")(h)
+
+
+class Booster(nn.Module):
+    """One recursive-boosting step (DeMFInet.py:770-793)."""
+    nf: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, f_rec: Array, ref: Array, delta: Array
+                 ) -> Tuple[Array, Array, Array]:
+        blend = Mixer(self.nf, self.dtype, name="Mixer")(ref, delta)
+        f_rec = SepConvGRU(self.nf, self.dtype, name="GB")(f_rec, blend)
+        d = FlowOcc(self.nf, self.dtype, name="flow_occ")(f_rec)
+        return f_rec, d[..., :4], d[..., 4:5]
+
+
+# --------------------------------------------------------------------------
+# Outputs
+# --------------------------------------------------------------------------
+@flax.struct.dataclass
+class DeMFIOutputs:
+    """Pytree of everything the reference forward returns
+    (DeMFInet.py:170-179), with per-iteration lists stacked on axis 0."""
+    s0_prime: Array          # [B,H,W,3]
+    s1_prime: Array
+    st_prime: Array
+    s0_final: Array          # [N,B,H,W,3]  (N = num_update; empty if 0)
+    s1_final: Array
+    st_final: Array
+    flow_preds: Array        # [N+1,B,H,W,4]  (init + per-iteration)
+    occ0_preds: Array        # [N+1,B,H,W,1]  (sigmoided)
+    ovlp_b0b1: Array         # [B,H,W,3]
+    diff_maps: Tuple[Array, Array]        # (diff_1to0, diff_0to1)
+    blend_weights: Tuple[Array, Array]    # FGAC gate maps (w_F0, w_F1)
+
+
+@flax.struct.dataclass
+class StageIContext:
+    """t-independent intermediates shared by all t-values of a window."""
+    f0: Array
+    f1: Array
+    flow_01: Array
+    flow_10: Array
+    occ_0_logit: Array
+    a_f0: Array
+    a_f1: Array
+    blend_weights: Tuple[Array, Array]
+    diff_maps: Tuple[Array, Array]
+    frames: Array            # [B,H,W,12] (B0,B1,Bm1,B2)
+
+
+# --------------------------------------------------------------------------
+# Top-level model
+# --------------------------------------------------------------------------
+class DeMFINet(nn.Module):
+    """DeMFI-Net (DeMFInet.py:13-179).
+
+    Call with frames [B, 4, H, W, 3] in reference order (B0, B1, B-1, B2)
+    and t_value [B] or [B, 1]. ``num_update`` is a static Python int.
+    """
+    nf: int = 64
+    scale_factor: int = 2
+    num_res_facfb: int = 5
+    num_res_dec: int = 5
+    shared_fgac: bool = True
+    fgac_rr: int = 0
+    fgac_sr: int = 0
+    use_stage2: bool = True
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.FF_RDB_Module = FFRDB(self.nf, self.scale_factor, dtype=self.dtype,
+                                   name="FF_RDB_Module")
+        self.FAC_FB_Module = FACFB(self.nf, self.num_res_facfb,
+                                   self.shared_fgac, self.fgac_rr,
+                                   self.fgac_sr, dtype=self.dtype,
+                                   name="FAC_FB_Module")
+        self.Refine_Module = RefineUNet(self.nf, dtype=self.dtype,
+                                        name="Refine_Module")
+        # "3D" decoder D1 — temporal kernel extent is 1 in the reference
+        # (Conv3d [1,3,3], DeMFInet.py:30-34), so these are 2D convs shared
+        # across the 3 stacked frames (folded into batch).
+        self.Dec_first = _conv(self.nf, 3, dtype=self.dtype, name="Dec_first")
+        self.Decoder_res = [ResBlock(self.nf, self.dtype, name=f"Decoder_res_{i}")
+                            for i in range(self.num_res_dec)]
+        self.Dec_last1 = _conv(self.nf, 3, dtype=self.dtype, name="Dec_last1")
+        self.Dec_last2 = _conv(3, 3, dtype=self.dtype, name="Dec_last2")
+
+        if self.use_stage2:
+            self.Ch_Reducer = _conv(self.nf, 7, dtype=self.dtype,
+                                    name="Ch_Reducer")
+            self.Booster_Module = Booster(self.nf, self.dtype,
+                                          name="Booster_Module")
+            self.Dec_first_2 = _conv(self.nf, 3, dtype=self.dtype,
+                                     name="Dec_first_2")
+            self.Decoder_res_2 = [
+                ResBlock(self.nf, self.dtype, name=f"Decoder_res_2_{i}")
+                for i in range(self.num_res_dec)]
+            self.Dec_last1_2 = _conv(self.nf, 3, dtype=self.dtype,
+                                     name="Dec_last1_2")
+            self.Dec_last2_2 = _conv(9, 3, dtype=self.dtype, name="Dec_last2_2")
+
+    # ---------------------------------------------------- t-independent
+    def extract(self, frames: Array) -> StageIContext:
+        """RDB backbone + FAC-FB; runs once per 4-frame window."""
+        b, t, h, w, c = frames.shape
+        assert t == 4, f"expected 4 input frames, got {t}"
+        cat = frames.transpose(0, 2, 3, 1, 4).reshape(b, h, w, t * c)
+        f0, f1, flow_01, flow_10, occ = self.FF_RDB_Module(cat)
+        a_f0, a_f1, bws, diffs = self.FAC_FB_Module(f0, f1, flow_10, flow_01)
+        return StageIContext(f0, f1, flow_01, flow_10, occ, a_f0, a_f1,
+                             bws, diffs, cat)
+
+    # ------------------------------------------------------ t-dependent
+    def synthesize(self, ctx: StageIContext, t_value: Array,
+                   num_update: int) -> DeMFIOutputs:
+        nf = self.nf
+        t = jnp.reshape(t_value.astype(jnp.float32), (-1, 1, 1, 1))
+        b0 = ctx.frames[..., 0:3]
+        b1 = ctx.frames[..., 3:6]
+
+        # t-alignment: CFR + feature warp/blend (Eq. 2)
+        flow_t0, flow_t1 = cfr_flow_t_align(ctx.flow_01, ctx.flow_10, t)
+        occ_0 = nn.sigmoid(ctx.occ_0_logit.astype(jnp.float32))
+        ft = _t_blend(bwarp(ctx.f0.astype(jnp.float32), flow_t0),
+                      bwarp(ctx.f1.astype(jnp.float32), flow_t1), occ_0, t)
+
+        # refinement (DeMFInet.py:77-87)
+        agg1 = jnp.concatenate(
+            [ctx.a_f0, ctx.a_f1, ft.astype(self.dtype),
+             flow_t0.astype(self.dtype), flow_t1.astype(self.dtype),
+             ctx.flow_01.astype(self.dtype), ctx.flow_10.astype(self.dtype),
+             ctx.occ_0_logit.astype(self.dtype)], axis=-1)
+        agg1 = self.Refine_Module(agg1) + jnp.concatenate(
+            [flow_t0.astype(self.dtype), flow_t1.astype(self.dtype),
+             ctx.occ_0_logit.astype(self.dtype), ctx.a_f0, ctx.a_f1], axis=-1)
+
+        rflow_t0 = agg1[..., 0:2].astype(jnp.float32)
+        rflow_t1 = agg1[..., 2:4].astype(jnp.float32)
+        occ_0_logit = agg1[..., 4:5].astype(jnp.float32)
+        occ_0 = nn.sigmoid(occ_0_logit)
+        r_f0 = jnp.tanh(agg1[..., 5:5 + nf])
+        r_f1 = jnp.tanh(agg1[..., 5 + nf:5 + 2 * nf])
+
+        r_ft = _t_blend(bwarp(r_f0.astype(jnp.float32), rflow_t0),
+                        bwarp(r_f1.astype(jnp.float32), rflow_t1), occ_0, t
+                        ).astype(self.dtype)
+
+        # D1: joint 3-frame decode (frames folded into batch)
+        b, h, w, _ = r_f0.shape
+        dec_in = jnp.stack([r_f0, r_f1, r_ft], axis=1).reshape(3 * b, h, w, nf)
+        out = nn.relu(self.Dec_first(dec_in))
+        for blk in self.Decoder_res:
+            out = blk(out)
+        out = nn.relu(self.Dec_last1(out))
+        out = self.Dec_last2(out).reshape(b, 3, h, w, 3)
+        s0p, s1p, stp = out[:, 0], out[:, 1], out[:, 2]
+
+        flow_init = jnp.concatenate([rflow_t0, rflow_t1], axis=-1)
+        flow_preds = [flow_init]
+        occ0_preds = [occ_0]
+        s0_fin: List[Array] = []
+        s1_fin: List[Array] = []
+        st_fin: List[Array] = []
+
+        if self.use_stage2 and num_update > 0:
+            f_rec = jnp.tanh(self.Ch_Reducer(
+                jnp.concatenate([r_f0, r_f1, r_ft], axis=-1)))
+            t_ref = jnp.concatenate(
+                [flow_init.astype(self.dtype),
+                 occ_0_logit.astype(self.dtype)], axis=-1)
+            length1_ref = jnp.concatenate([ctx.flow_10, ctx.flow_01],
+                                          axis=-1).astype(self.dtype)
+            sp_ref = jnp.concatenate([s0p, s1p, stp, ctx.frames], axis=-1)
+            ref = jnp.concatenate([sp_ref, length1_ref, t_ref], axis=-1)
+
+            delta_flow = flow_init.astype(self.dtype)
+            delta_occ = occ_0_logit.astype(self.dtype)
+            for _ in range(num_update):
+                delta = jnp.concatenate([delta_flow, delta_occ], axis=-1)
+                f_rec, d_flow, d_occ = self.Booster_Module(f_rec, ref, delta)
+                delta_flow = delta_flow + d_flow
+                delta_occ = delta_occ + d_occ
+
+                ft0_f = delta_flow[..., :2].astype(jnp.float32)
+                ft1_f = delta_flow[..., 2:4].astype(jnp.float32)
+                occ_0_f = nn.sigmoid(delta_occ.astype(jnp.float32))
+                occ0_preds.append(occ_0_f)
+                flow_preds.append(delta_flow.astype(jnp.float32))
+
+                st_new = _t_blend(
+                    bwarp(s0p.astype(jnp.float32), ft0_f),
+                    bwarp(s1p.astype(jnp.float32), ft1_f),
+                    occ_0_f, t).astype(self.dtype)
+
+                agg3 = jnp.concatenate(
+                    [s0p, s1p, st_new, f_rec,
+                     occ_0.astype(self.dtype), rflow_t0.astype(self.dtype),
+                     rflow_t1.astype(self.dtype),
+                     ctx.flow_10.astype(self.dtype),
+                     ctx.flow_01.astype(self.dtype),
+                     ft0_f.astype(self.dtype), ft1_f.astype(self.dtype),
+                     occ_0_f.astype(self.dtype), ctx.frames], axis=-1)
+                out = nn.relu(self.Dec_first_2(agg3))
+                for blk in self.Decoder_res_2:
+                    out = blk(out)
+                out = nn.relu(self.Dec_last1_2(out))
+                out = self.Dec_last2_2(out)
+                s0_fin.append(out[..., 0:3] + s0p)
+                s1_fin.append(out[..., 3:6] + s1p)
+                st_fin.append(out[..., 6:9] + st_new)
+
+        def stk(xs, like):
+            if xs:
+                return jnp.stack(xs, axis=0)
+            return jnp.zeros((0,) + like.shape, like.dtype)
+
+        return DeMFIOutputs(
+            s0_prime=s0p, s1_prime=s1p, st_prime=stp,
+            s0_final=stk(s0_fin, s0p), s1_final=stk(s1_fin, s1p),
+            st_final=stk(st_fin, stp),
+            flow_preds=jnp.stack(flow_preds, axis=0),
+            occ0_preds=jnp.stack(occ0_preds, axis=0),
+            ovlp_b0b1=(b0 + b1) / 2.0,
+            diff_maps=ctx.diff_maps,
+            blend_weights=ctx.blend_weights,
+        )
+
+    def __call__(self, frames: Array, t_value: Array,
+                 num_update: int = 1) -> DeMFIOutputs:
+        ctx = self.extract(frames)
+        return self.synthesize(ctx, t_value, num_update)
+
+
+def make_model(cfg: DeMFIConfig) -> DeMFINet:
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    return DeMFINet(
+        nf=cfg.nf,
+        scale_factor=cfg.scale_factor,
+        num_res_facfb=cfg.num_ResB_FACFB,
+        num_res_dec=cfg.num_ResB_Dec,
+        shared_fgac=cfg.shared_FGAC_flag,
+        fgac_rr=cfg.fgac_rr,
+        fgac_sr=cfg.fgac_sr,
+        use_stage2=max(cfg.N_trn, cfg.N_tst) > 0,
+        dtype=dtype,
+    )
