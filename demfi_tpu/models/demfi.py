@@ -48,9 +48,13 @@ def _conv(features: int, k: int = 3, stride: int = 1, pad: Optional[int] = None,
           name: Optional[str] = None, dtype=jnp.float32) -> nn.Conv:
     if pad is None:
         pad = (k - 1) // 2
+    # HIGHEST precision for float32 keeps TPU convs at true-f32 accumulation
+    # (checkpoint parity, the 0.05 dB budget); bf16 mode uses the MXU native
+    # path.
+    prec = jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
     return nn.Conv(features, (k, k), strides=(stride, stride),
                    padding=((pad, pad), (pad, pad)), use_bias=True,
-                   kernel_init=_init, dtype=dtype, name=name)
+                   kernel_init=_init, dtype=dtype, precision=prec, name=name)
 
 
 def _minmax_norm(v: Array) -> Array:
@@ -275,13 +279,17 @@ class SepConvGRU(nn.Module):
 
     @nn.compact
     def __call__(self, h: Array, x: Array) -> Array:
+        prec = jax.lax.Precision.HIGHEST if self.dtype == jnp.float32 else None
+
         def conv1x5(name):
             return nn.Conv(self.h_dim, (1, 5), padding=((0, 0), (2, 2)),
-                           kernel_init=_init, dtype=self.dtype, name=name)
+                           kernel_init=_init, dtype=self.dtype,
+                           precision=prec, name=name)
 
         def conv5x1(name):
             return nn.Conv(self.h_dim, (5, 1), padding=((2, 2), (0, 0)),
-                           kernel_init=_init, dtype=self.dtype, name=name)
+                           kernel_init=_init, dtype=self.dtype,
+                           precision=prec, name=name)
 
         hx = jnp.concatenate([h, x], axis=-1)
         z = nn.sigmoid(conv1x5("convz1")(hx))
