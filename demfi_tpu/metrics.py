@@ -1,0 +1,87 @@
+"""Evaluation metrics with reference parity.
+
+PSNR/SSIM must reproduce the reference pipeline bit-for-bit
+(/root/reference/utils.py:652-705, main.py:758-838): float64 RGB in
+[0, 255], PSNR = 20 log10(255/sqrt(MSE)); SSIM is the MATLAB variant
+(11x11 Gaussian sigma=1.5, C1/C2 on the 255 scale, valid-cropped by 5 px)
+computed over the full 3-channel array. The reference's ``crop_8x8`` is a
+no-op (utils.py:639-642): metrics run on full frames.
+"""
+from __future__ import annotations
+
+import math
+
+import cv2
+import numpy as np
+
+
+def denorm255(x: np.ndarray) -> np.ndarray:
+    """[-1,1] float -> [0,255] float (utils.py:718-721)."""
+    return np.clip((x + 1.0) / 2.0, 0.0, 1.0) * 255.0
+
+
+def psnr(img1: np.ndarray, img2: np.ndarray) -> float:
+    """PSNR on [0,255] images (utils.py:652-660)."""
+    a = img1.astype(np.float64)
+    b = img2.astype(np.float64)
+    mse = float(np.mean((a - b) ** 2))
+    if mse == 0:
+        return float("inf")
+    return 20.0 * math.log10(255.0 / math.sqrt(mse))
+
+
+def _ssim_single(img1: np.ndarray, img2: np.ndarray) -> float:
+    c1 = (0.01 * 255) ** 2
+    c2 = (0.03 * 255) ** 2
+    a = img1.astype(np.float64)
+    b = img2.astype(np.float64)
+    k = cv2.getGaussianKernel(11, 1.5)
+    win = np.outer(k, k.T)
+
+    mu1 = cv2.filter2D(a, -1, win)[5:-5, 5:-5]
+    mu2 = cv2.filter2D(b, -1, win)[5:-5, 5:-5]
+    mu1_sq, mu2_sq, mu12 = mu1 ** 2, mu2 ** 2, mu1 * mu2
+    s1 = cv2.filter2D(a ** 2, -1, win)[5:-5, 5:-5] - mu1_sq
+    s2 = cv2.filter2D(b ** 2, -1, win)[5:-5, 5:-5] - mu2_sq
+    s12 = cv2.filter2D(a * b, -1, win)[5:-5, 5:-5] - mu12
+    num = (2 * mu12 + c1) * (2 * s12 + c2)
+    den = (mu1_sq + mu2_sq + c1) * (s1 + s2 + c2)
+    return float((num / den).mean())
+
+
+def ssim(img1: np.ndarray, img2: np.ndarray) -> float:
+    """MATLAB-style SSIM on [0,255] images, [H,W] or [H,W,C].
+
+    For 3-channel inputs the reference computes the value over the full
+    RGB array (utils.py:698-701 calls ssim_matlab_func on the 3D array
+    three times and averages identical values — equivalent to once).
+    """
+    if img1.shape != img2.shape:
+        raise ValueError("Input images must have the same dimensions.")
+    if img1.ndim == 2 or (img1.ndim == 3 and img1.shape[2] in (1, 3)):
+        return _ssim_single(np.squeeze(img1), np.squeeze(img2))
+    raise ValueError("Wrong input image dimensions.")
+
+
+def eval_pair(pred_chw_bgr: np.ndarray, gt_chw_bgr: np.ndarray):
+    """Reference metric pipeline for one prediction (main.py:762-771):
+
+    pred/gt are [C,H,W] BGR in [-1,1]. Prediction is denormalized and
+    *rounded*, the target is denormalized unrounded; both flipped to RGB.
+    Returns (psnr, ssim).
+    """
+    out = np.around(denorm255(np.transpose(pred_chw_bgr, (1, 2, 0))[:, :, ::-1]))
+    tgt = denorm255(np.transpose(gt_chw_bgr, (1, 2, 0))[:, :, ::-1])
+    return psnr(tgt, out), ssim(tgt, out)
+
+
+def eval_pair_hwc(pred_hwc_bgr: np.ndarray, gt_hwc_bgr: np.ndarray):
+    """Same pipeline for NHWC-native arrays ([H,W,C] BGR in [-1,1])."""
+    out = np.around(denorm255(pred_hwc_bgr[:, :, ::-1]))
+    tgt = denorm255(gt_hwc_bgr[:, :, ::-1])
+    return psnr(tgt, out), ssim(tgt, out)
+
+
+def to_png_uint8(img_hwc_bgr: np.ndarray) -> np.ndarray:
+    """[-1,1] BGR float -> uint8 BGR for cv2.imwrite (main.py:863-866)."""
+    return denorm255(img_hwc_bgr).astype(np.uint8)

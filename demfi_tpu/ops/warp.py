@@ -25,10 +25,21 @@ improvement, so tests compare with tolerance rather than bitwise.
 """
 from __future__ import annotations
 
+import os
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+
+
+def _use_pallas() -> bool:
+    """Use the Pallas fast path when tracing for TPU (overridable)."""
+    if os.environ.get("DEMFI_NO_PALLAS"):
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:
+        return False
 
 
 def _gather2d(img: jnp.ndarray, yi: jnp.ndarray, xi: jnp.ndarray) -> jnp.ndarray:
@@ -86,8 +97,14 @@ def bwarp(x: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     out(p) = x(p + flow(p)), bilinear, zero padding; multiplied by a
     binary mask that zeroes any pixel whose warped all-ones sample is
     < 0.999 (DeMFInet.py:758-766).
+
+    On TPU this dispatches to the Pallas kernel
+    (ops/pallas_kernels.py); elsewhere it uses the exact XLA gather.
     """
     b, h, w, c = x.shape
+    if _use_pallas() and h >= 16 and w >= 16:
+        from demfi_tpu.ops.pallas_kernels import bwarp_tpu
+        return bwarp_tpu(x, flow)
     gx = jnp.arange(w, dtype=x.dtype)[None, None, :]
     gy = jnp.arange(h, dtype=x.dtype)[None, :, None]
     px = gx + flow[..., 0]
@@ -105,6 +122,10 @@ def bilinear_sample_abs(img: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     grid_sample with align_corners=True and zero padding, *without* adding
     any base meshgrid (the trained-in FGAC absolute-coordinate behavior).
     """
+    h, w = img.shape[1], img.shape[2]
+    if _use_pallas() and h >= 16 and w >= 16:
+        from demfi_tpu.ops.pallas_kernels import bilinear_sample_abs_tpu
+        return bilinear_sample_abs_tpu(img, coords)
     out, _ = _bilinear_zeros(img, coords[..., 0], coords[..., 1])
     return out
 

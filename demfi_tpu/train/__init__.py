@@ -1,0 +1,8 @@
+from demfi_tpu.train.loop import (
+    TrainState,
+    create_train_state,
+    demfi_loss,
+    make_train_step,
+)
+
+__all__ = ["TrainState", "create_train_state", "demfi_loss", "make_train_step"]

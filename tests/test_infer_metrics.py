@@ -1,0 +1,125 @@
+"""Inference engine + metrics tests."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from demfi_tpu.config import config_rb
+from demfi_tpu.models import make_model
+from demfi_tpu.infer import InferenceEngine
+from demfi_tpu import metrics
+
+
+@pytest.fixture(scope="module")
+def engine():
+    cfg = config_rb(5, 2)
+    model = make_model(cfg)
+    frames = jnp.zeros((1, 4, 32, 32, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), frames, jnp.zeros((1, 1)),
+                        num_update=1)
+    return model, params, InferenceEngine(model, params, num_update=2)
+
+
+def test_t_batched_matches_per_t(engine):
+    """vmapped multi-t forward must equal one-t-at-a-time forwards."""
+    model, params, eng = engine
+    rng = np.random.RandomState(0)
+    frames = rng.uniform(-1, 1, (1, 4, 32, 32, 3)).astype(np.float32)
+    ts = np.array([0.25, 0.5, 0.75], np.float32)
+    res = eng.forward_window(frames, ts, test_patch=(1, 1), patch_boundary=32)
+    for i, t in enumerate(ts):
+        out = model.apply(params, jnp.asarray(frames),
+                          jnp.array([[t]], jnp.float32), num_update=2)
+        np.testing.assert_allclose(res.st_final[i],
+                                   np.asarray(out.st_final[-1][0]), atol=5e-5)
+        np.testing.assert_allclose(res.s0_prime[i],
+                                   np.asarray(out.s0_prime[0]), atol=2e-5)
+
+
+def test_tiled_matches_untiled_with_local_model(engine):
+    """Pad/halo/trim/stitch must be exact: with a stub whose receptive
+    field (13 px box blur) fits inside the 32 px halo, 2x2-tiled output
+    equals the untiled output bit-for-bit."""
+    from demfi_tpu.models.demfi import DeMFIOutputs
+    _, _, eng = engine
+
+    def stub_run(frames, ts):
+        # frames [1,4,H,W,3]; depth-13 box blur of frame B0 as "output"
+        img = frames[0, 0]
+        k = 13
+        pad = np.pad(img, ((k // 2,) * 2, (k // 2,) * 2, (0, 0)), mode="edge")
+        blur = np.stack([
+            np.mean([pad[i:i + img.shape[0], j:j + img.shape[1]]
+                     for i in range(k) for j in range(k)], axis=0)])
+        m = len(ts)
+        f3 = np.broadcast_to(blur, (m,) + img.shape).astype(np.float32)
+        f4 = np.concatenate([f3, f3[..., :1]], -1)
+        f1 = f3[..., :1]
+        return DeMFIOutputs(
+            s0_prime=f3, s1_prime=f3, st_prime=f3,
+            s0_final=f3[None], s1_final=f3[None], st_final=f3[None],
+            flow_preds=np.stack([f4, f4]), occ0_preds=np.stack([f1, f1]),
+            ovlp_b0b1=f3, diff_maps=(f1, f1), blend_weights=(f1, f1))
+
+    eng2 = object.__new__(type(eng))
+    eng2.__dict__.update(eng.__dict__)
+    eng2._run_window = stub_run
+    eng2.t_chunk = None
+
+    rng = np.random.RandomState(1)
+    frames = rng.uniform(-1, 1, (1, 4, 128, 128, 3)).astype(np.float32)
+    ts = np.array([0.25, 0.75], np.float32)
+    full = eng2.forward_window(frames, ts, test_patch=(1, 1))
+    tiled = eng2.forward_window(frames, ts, test_patch=(2, 2))
+    for name in ("st_final", "s0_prime", "flow_final", "occ0_init"):
+        np.testing.assert_allclose(getattr(tiled, name), getattr(full, name),
+                                   atol=1e-6, err_msg=name)
+
+
+def test_nonmultiple_size_padding(engine):
+    """Sizes not divisible by 32 are reflect-padded then cropped back."""
+    _, _, eng = engine
+    rng = np.random.RandomState(2)
+    frames = rng.uniform(-1, 1, (1, 4, 50, 70, 3)).astype(np.float32)
+    res = eng.forward_window(frames, [0.5])
+    assert res.st_final.shape == (1, 50, 70, 3)
+    assert np.isfinite(res.st_final).all()
+
+
+# ------------------------------------------------------------------ metrics
+def test_psnr_reference_values():
+    a = np.zeros((8, 8, 3))
+    b = np.full((8, 8, 3), 16.0)
+    # mse=256 -> psnr = 20 log10(255/16)
+    np.testing.assert_allclose(metrics.psnr(a, b),
+                               20 * np.log10(255.0 / 16.0), rtol=1e-12)
+    assert metrics.psnr(a, a) == float("inf")
+
+
+def test_ssim_matches_skimage_style_known_value():
+    rng = np.random.RandomState(0)
+    a = rng.uniform(0, 255, (64, 64, 3))
+    assert metrics.ssim(a, a) == pytest.approx(1.0)
+    b = a + rng.normal(0, 10, a.shape)
+    v = metrics.ssim(a, np.clip(b, 0, 255))
+    assert 0.3 < v < 0.999
+
+
+def test_eval_pair_matches_reference_pipeline():
+    """Rounding/denorm/BGR2RGB order exactly as main.py:762-771."""
+    rng = np.random.RandomState(3)
+    pred = rng.uniform(-1, 1, (3, 32, 32)).astype(np.float32)
+    gt = rng.uniform(-1, 1, (3, 32, 32)).astype(np.float32)
+
+    out_ref = np.around(np.clip((np.transpose(pred, (1, 2, 0))[:, :, ::-1]
+                                 + 1) / 2, 0, 1) * 255)
+    tgt_ref = np.clip((np.transpose(gt, (1, 2, 0))[:, :, ::-1] + 1) / 2,
+                      0, 1) * 255
+    want_psnr = 20 * np.log10(255 / np.sqrt(np.mean(
+        (out_ref.astype(np.float64) - tgt_ref.astype(np.float64)) ** 2)))
+    got_psnr, got_ssim = metrics.eval_pair(pred, gt)
+    np.testing.assert_allclose(got_psnr, want_psnr, rtol=1e-12)
+    # hwc variant agrees with chw variant
+    got2 = metrics.eval_pair_hwc(np.transpose(pred, (1, 2, 0)),
+                                 np.transpose(gt, (1, 2, 0)))
+    np.testing.assert_allclose(got2, (got_psnr, got_ssim), rtol=1e-12)

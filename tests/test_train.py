@@ -1,0 +1,89 @@
+"""Training tests: loss parity, lr schedule, overfit step, mesh step."""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from demfi_tpu.config import DeMFIConfig, config_rb
+from demfi_tpu.models import make_model
+from demfi_tpu.train import create_train_state, demfi_loss, make_train_step
+from demfi_tpu.train.loop import make_optimizer
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = config_rb(2, 2, batch_size=2, patch_size=32)
+    model = make_model(cfg)
+    state, tx = create_train_state(cfg, model, jax.random.PRNGKey(0),
+                                   sample_shape=(1, 4, 32, 32, 3))
+    return cfg, model, state, tx
+
+
+def test_loss_formula_matches_reference(setup):
+    """Hand-compute Eq.9/10 on a forward pass and compare."""
+    cfg, model, state, _ = setup
+    rng = np.random.RandomState(0)
+    frames = jnp.asarray(rng.uniform(-1, 1, (2, 4, 32, 32, 3)), jnp.float32)
+    gt0, gt1, gtt = (jnp.asarray(rng.uniform(-1, 1, (2, 32, 32, 3)),
+                                 jnp.float32) for _ in range(3))
+    out = model.apply(state.params, frames, jnp.full((2, 1), 0.5),
+                      num_update=cfg.N_trn)
+    total, m = demfi_loss(cfg, out, gt0, gt1, gtt)
+
+    l1 = lambda a, b: float(jnp.mean(jnp.abs(a - b)))
+    d1 = (l1(gt0, out.s0_prime) + l1(gt1, out.s1_prime)
+          + l1(gtt, out.st_prime)) / 3
+    d2 = sum((l1(gt0, out.s0_final[i]) + l1(gt1, out.s1_final[i])
+              + l1(gtt, out.st_final[i])) / 3 for i in range(cfg.N_trn))
+    np.testing.assert_allclose(float(m["rec_D1"]), d1, rtol=1e-6)
+    np.testing.assert_allclose(float(m["rec_D2"]), d2, rtol=1e-6)
+    np.testing.assert_allclose(float(total), d1 + d2, rtol=1e-6)
+
+
+def test_lr_schedule_multistep():
+    cfg = DeMFIConfig()
+    assert cfg.lr_at_epoch(0) == 1e-4
+    assert cfg.lr_at_epoch(3749) == 1e-4
+    assert cfg.lr_at_epoch(3750) == pytest.approx(5e-5)
+    assert cfg.lr_at_epoch(6250) == pytest.approx(2.5e-5)
+    assert cfg.lr_at_epoch(7250) == pytest.approx(1.25e-5)
+
+
+def test_train_step_decreases_loss(setup):
+    cfg, model, state, tx = setup
+    step = make_train_step(cfg, model, tx)
+    rng = np.random.RandomState(1)
+    frames = jnp.asarray(rng.uniform(-1, 1, (2, 9, 32, 32, 3)), jnp.float32)
+    t = jnp.full((2, 1), 0.375, jnp.float32)
+    losses = []
+    for _ in range(4):
+        state, metrics = step(state, frames, t)
+        losses.append(float(metrics["total_loss"]))
+    assert losses[-1] < losses[0], losses
+    assert float(metrics["lr"]) == pytest.approx(1e-4)
+
+
+def test_train_step_on_mesh_matches_single_device(setup):
+    """DP over an 8-device CPU mesh must reproduce the single-device step."""
+    cfg, model, _, _ = setup
+    from jax.sharding import Mesh
+    devices = np.array(jax.devices()[:8]).reshape(8)
+    mesh = Mesh(devices, ("data",))
+
+    state1, tx1 = create_train_state(cfg, model, jax.random.PRNGKey(7),
+                                     sample_shape=(1, 4, 32, 32, 3))
+    state2, tx2 = create_train_state(cfg, model, jax.random.PRNGKey(7),
+                                     sample_shape=(1, 4, 32, 32, 3))
+    step1 = make_train_step(cfg, model, tx1)
+    step2 = make_train_step(cfg, model, tx2, mesh=mesh)
+
+    rng = np.random.RandomState(2)
+    frames = jnp.asarray(rng.uniform(-1, 1, (8, 9, 32, 32, 3)), jnp.float32)
+    t = jnp.asarray(rng.uniform(0.1, 0.9, (8, 1)), jnp.float32)
+    state1, m1 = step1(state1, frames, t)
+    state2, m2 = step2(state2, frames, t)
+    np.testing.assert_allclose(float(m1["total_loss"]),
+                               float(m2["total_loss"]), rtol=1e-5)
+    a = jax.tree_util.tree_leaves(state1.params)[0]
+    b = jax.tree_util.tree_leaves(state2.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
