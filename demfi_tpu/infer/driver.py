@@ -1,0 +1,251 @@
+"""Evaluation drivers: GT benchmark eval and custom (GT-free) interpolation.
+
+Reproduces the reference test/test_custom drivers
+(/root/reference/main.py:515-1107, 1109-1196): per-time-index PSNR/SSIM
+meters for Stage I ("prime") and Stage II (final), scene-average rollover,
+deblur accounting at the t=0.5 sample plus the trailing S1, PNG outputs —
+while replacing the serial per-t forward with one t-batched engine call
+per 4-frame window.
+"""
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, List, Optional, Tuple
+
+import cv2
+import numpy as np
+
+from demfi_tpu.config import DeMFIConfig
+from demfi_tpu.data.datasets import (CustomDataset, EvalDataset, _imread,
+                                     _normalize)
+from demfi_tpu.infer.engine import InferenceEngine
+from demfi_tpu.metrics import eval_pair_hwc, to_png_uint8
+from demfi_tpu.utils.meters import AverageMeter, ProgressPrinter
+
+
+def _rec_loss_np(loss_type: str):
+    if loss_type == "MSE":
+        return lambda a, b: float(np.mean((a - b) ** 2))
+    if loss_type == "L1_Charbonnier_loss":
+        return lambda a, b: float(np.mean(np.sqrt((a - b) ** 2 + 1e-6)))
+    return lambda a, b: float(np.mean(np.abs(a - b)))
+
+
+class _SlotMeters:
+    """PSNR/SSIM meters for interp slots 1..7 + deblur slot 8
+    (main.py:540-624)."""
+
+    def __init__(self, tag: str):
+        self.psnr = {i: AverageMeter(f"PSNR_{i}{tag}:", ":.4e")
+                     for i in range(1, 9)}
+        self.ssim = {i: AverageMeter(f"SSIM_{i}{tag}:", ":.4e")
+                     for i in range(1, 9)}
+
+    def reset(self):
+        for m in list(self.psnr.values()) + list(self.ssim.values()):
+            m.reset()
+
+    def update_from(self, other: "_SlotMeters"):
+        for i in range(1, 9):
+            self.psnr[i].update(other.psnr[i].avg, 1)
+            self.ssim[i].update(other.ssim[i].avg, 1)
+
+
+def _load_window(ds: EvalDataset, w: int):
+    """Load one 4-frame window: blur inputs once + per-t GT frames."""
+    m1 = ds.multiple - 1
+    items = ds.items[w * m1:(w + 1) * m1]
+    blur = np.stack([_imread(p) for p in items[0].blur_paths])
+    s0 = _imread(items[0].s0_path)
+    s1 = _imread(items[0].s1_path)
+    sts = np.stack([_imread(it.st_path) for it in items])
+    if ds.center_patch:
+        ps = ds.center_patch
+        ih, iw = blur.shape[1:3]
+        iy, ix = (ih - ps) // 2, (iw - ps) // 2
+        sl = np.s_[iy:iy + ps, ix:ix + ps]
+        blur = blur[:, sl[0], sl[1]]
+        s0, s1 = s0[sl], s1[sl]
+        sts = sts[:, sl[0], sl[1]]
+    return (_normalize(blur), _normalize(s0[None])[0], _normalize(s1[None])[0],
+            _normalize(sts), items)
+
+
+def evaluate(cfg: DeMFIConfig, engine: InferenceEngine, multiple: int,
+             epoch: int = 0, center_patch: Optional[int] = None,
+             test_type: Optional[str] = None, post_fix: str = "",
+             save_images: bool = True, writer=None,
+             test_patch: Tuple[int, int] = (1, 1),
+             ) -> Tuple[float, float, float, float, float, str]:
+    """GT evaluation (reference ``test``). Returns (loss, intp_PSNR,
+    intp_SSIM, deblur_PSNR, deblur_SSIM, save_path)."""
+    assert multiple in (2, 8), "phase test supports multiple in {2,8} (main.py:518)"
+    ds = EvalDataset(cfg.test_data_path, multiple, cfg.t_step_size,
+                     center_patch=center_patch, test_type=test_type)
+    m1 = multiple - 1
+    n_windows = len(ds) // m1
+    rec = _rec_loss_np(cfg.loss_type)
+
+    batch_time = AverageMeter("Time:", ":6.3f")
+    losses = AverageMeter("testLoss:", ":.4e")
+    intp_psnr = {"prime": AverageMeter("intp_testPSNR_prime:", ":.4e"),
+                 "final": AverageMeter("intp_testPSNR:", ":.4e")}
+    intp_ssim = {"prime": AverageMeter("intp_testSSIM_prime:", ":.4e"),
+                 "final": AverageMeter("intp_testSSIM:", ":.4e")}
+    deblur_psnr = {"prime": AverageMeter("deblur_testPSNR_prime:", ":.4e"),
+                   "final": AverageMeter("deblur_testPSNR:", ":.4e")}
+    deblur_ssim = {"prime": AverageMeter("deblur_testSSIM_prime:", ":.4e"),
+                   "final": AverageMeter("deblur_testSSIM:", ":.4e")}
+    total = {k: _SlotMeters("_prime" if k == "prime" else "")
+             for k in ("prime", "final")}
+    scene = {k: _SlotMeters("_scene_prime" if k == "prime" else "_scene")
+             for k in ("prime", "final")}
+
+    if "val" in post_fix:
+        save_root = os.path.join(cfg.test_img_dir, cfg.model_dir,
+                                 "val_latest_" + post_fix)
+    else:
+        save_root = os.path.join(cfg.test_img_dir, cfg.model_dir,
+                                 f"epoch_{str(epoch).zfill(5)}{post_fix}")
+    os.makedirs(save_root, exist_ok=True)
+
+    prev_scene = None
+    last_s1 = None  # (psnr_p, ssim_p, psnr_f, ssim_f) of trailing S1
+
+    def finalize_scene():
+        """Scene rollover (main.py:633-720): trailing-S1 deblur update +
+        fold scene averages into the totals."""
+        if last_s1 is not None:
+            pp, sp, pf, sf = last_s1
+            scene["prime"].psnr[8].update(pp, 1)
+            scene["prime"].ssim[8].update(sp, 1)
+            scene["final"].psnr[8].update(pf, 1)
+            scene["final"].ssim[8].update(sf, 1)
+            deblur_psnr["prime"].update(pp, 1)
+            deblur_ssim["prime"].update(sp, 1)
+            deblur_psnr["final"].update(pf, 1)
+            deblur_ssim["final"].update(sf, 1)
+        for k in ("prime", "final"):
+            total[k].update_from(scene[k])
+            scene[k].reset()
+
+    fix_start = time.time()
+    for w in range(n_windows):
+        blur, s0_gt, s1_gt, sts_gt, items = _load_window(ds, w)
+        if items[0].scene != prev_scene:
+            if prev_scene is not None:
+                finalize_scene()
+            prev_scene = items[0].scene
+
+        ts = np.asarray([it.t_value for it in items], np.float32)
+        t0 = time.time()
+        res = engine.forward_window(blur[None], ts, test_patch=test_patch,
+                                    patch_boundary=cfg.patch_boundary)
+        batch_time.update(time.time() - t0)
+
+        scene_dir = os.path.join(save_root, items[0].scene)
+        if save_images:
+            os.makedirs(scene_dir, exist_ok=True)
+
+        for j, it in enumerate(items):
+            p_st_p, s_st_p = eval_pair_hwc(res.st_prime[j], sts_gt[j])
+            p_st_f, s_st_f = eval_pair_hwc(res.st_final[j], sts_gt[j])
+            p_s0_p, s_s0_p = eval_pair_hwc(res.s0_prime[j], s0_gt)
+            p_s0_f, s_s0_f = eval_pair_hwc(res.s0_final[j], s0_gt)
+            p_s1_p, s_s1_p = eval_pair_hwc(res.s1_prime[j], s1_gt)
+            p_s1_f, s_s1_f = eval_pair_hwc(res.s1_final[j], s1_gt)
+            last_s1 = (p_s1_p, s_s1_p, p_s1_f, s_s1_f)
+
+            losses.update(cfg.rec_D2_lambda
+                          * rec(res.st_final[j], sts_gt[j]), 1)
+
+            # interp slot: x8 -> slots 1..7; x2 -> slot 4 (main.py:890-1032)
+            slot = (j + 1) if multiple == 8 else 4
+            for k, (pv, sv) in (("prime", (p_st_p, s_st_p)),
+                                ("final", (p_st_f, s_st_f))):
+                scene[k].psnr[slot].update(pv, 1)
+                scene[k].ssim[slot].update(sv, 1)
+                intp_psnr[k].update(pv, 1)
+                intp_ssim[k].update(sv, 1)
+
+            # deblur at the t=0.5 sample (x8: j==3; x2: every sample)
+            if (multiple == 8 and j == 3) or multiple == 2:
+                scene["prime"].psnr[8].update(p_s0_p, 1)
+                scene["prime"].ssim[8].update(s_s0_p, 1)
+                scene["final"].psnr[8].update(p_s0_f, 1)
+                scene["final"].ssim[8].update(s_s0_f, 1)
+                deblur_psnr["prime"].update(p_s0_p, 1)
+                deblur_ssim["prime"].update(s_s0_p, 1)
+                deblur_psnr["final"].update(p_s0_f, 1)
+                deblur_ssim["final"].update(s_s0_f, 1)
+
+            if save_images:
+                cv2.imwrite(os.path.join(scene_dir, it.st_path and
+                                         os.path.basename(it.st_path)),
+                            to_png_uint8(res.st_final[j]))
+                if j == 0 or (multiple == 8 and j == 3) or multiple == 2:
+                    cv2.imwrite(os.path.join(
+                        scene_dir, os.path.basename(it.s0_path)),
+                        to_png_uint8(res.s0_final[j]))
+                    cv2.imwrite(os.path.join(
+                        scene_dir, os.path.basename(it.s1_path)),
+                        to_png_uint8(res.s1_final[j]))
+
+        if writer is not None:
+            tb = w * m1 + epoch * len(ds)
+            writer.add_scalar("testLoss", losses.val, tb)
+            writer.add_scalar("intp_testPSNR", intp_psnr["final"].val, tb)
+            writer.add_scalar("deblur_testPSNR", deblur_psnr["final"].val, tb)
+
+    finalize_scene()
+
+    print("-" * 40 + f" x{multiple} MFI results " + "-" * 40)
+    for k in ("prime", "final"):
+        stage = "Stage I" if k == "prime" else "Stage II"
+        pp = ProgressPrinter(n_windows, *total[k].psnr.values(),
+                             prefix=f"[PSNR {stage} (7 intp, 1 dblr)] :")
+        pp.print(n_windows)
+        ps = ProgressPrinter(n_windows, *total[k].ssim.values(),
+                             prefix=f"[SSIM {stage} (7 intp, 1 dblr)] :")
+        ps.print(n_windows)
+    print(" Average Inference Time per Window:", batch_time.avg)
+    return (losses.avg, intp_psnr["final"].avg, intp_ssim["final"].avg,
+            deblur_psnr["final"].avg, deblur_ssim["final"].avg, save_root)
+
+
+def evaluate_custom(cfg: DeMFIConfig, engine: InferenceEngine,
+                    multiple: int,
+                    test_patch: Tuple[int, int] = (1, 1)) -> None:
+    """GT-free interpolation of user scenes (reference ``test_custom``,
+    main.py:1109-1196): writes S0/S1 once per window plus every St into
+    <custom_path>/<scene>_sharply_interpolated_xM/."""
+    ds = CustomDataset(cfg.custom_path, multiple)
+    m1 = multiple - 1
+    n_windows = len(ds) // m1
+    batch_time = AverageMeter("Time:", ":6.3f")
+
+    for w in range(n_windows):
+        items = ds.items[w * m1:(w + 1) * m1]
+        blur = _normalize(np.stack([_imread(p)
+                                    for p in items[0].blur_paths]))
+        ts = np.asarray([it.t_value for it in items], np.float32)
+        t0 = time.time()
+        res = engine.forward_window(blur[None], ts, test_patch=test_patch,
+                                    patch_boundary=cfg.patch_boundary)
+        batch_time.update(time.time() - t0)
+
+        out_dir = os.path.join(
+            cfg.custom_path,
+            f"{items[0].scene}_sharply_interpolated_x{multiple}")
+        os.makedirs(out_dir, exist_ok=True)
+        cv2.imwrite(os.path.join(out_dir, items[0].s0_path),
+                    to_png_uint8(res.s0_final[0]))
+        cv2.imwrite(os.path.join(out_dir, items[0].s1_path),
+                    to_png_uint8(res.s1_final[0]))
+        for j, it in enumerate(items):
+            cv2.imwrite(os.path.join(out_dir, it.st_path),
+                        to_png_uint8(res.st_final[j]))
+            print(f"png for predicted St frame has been saved in "
+                  f"[{os.path.join(out_dir, it.st_path)}]")
+    print(" Average Inference Time per Window:", batch_time.avg)

@@ -1,0 +1,277 @@
+"""DeMFI-TPU command-line interface.
+
+Preserves the reference CLI surface (/root/reference/main.py:22-127):
+
+  python -m demfi_tpu.main --phase train
+  python -m demfi_tpu.main --phase test        --multiple_MFI 8
+  python -m demfi_tpu.main --phase test_custom --custom_path ./custom_path
+
+plus TPU extensions (--compute_dtype, --mesh_data/--mesh_spatial).
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import time
+from datetime import datetime
+
+import numpy as np
+
+from demfi_tpu.config import DeMFIConfig
+
+
+def parse_args(argv=None) -> DeMFIConfig:
+    p = argparse.ArgumentParser(description="TPU-native DeMFI")
+    d = DeMFIConfig()
+    p.add_argument("--gpu", type=int, default=0,
+                   help="accepted for reference compatibility; ignored "
+                        "(device selection is JAX's)")
+    p.add_argument("--net_type", type=str, default=d.net_type,
+                   choices=["DeMFInet"])
+    p.add_argument("--exp_num", type=int, default=d.exp_num)
+    p.add_argument("--phase", type=str, default=d.phase,
+                   choices=["train", "test", "test_custom"])
+    p.add_argument("--test_epoch_point", type=int, default=None)
+    p.add_argument("--fine_tuning", action="store_true")
+    p.add_argument("--fine_tuning_epoch_point", type=int, default=None)
+    p.add_argument("--test_img_dir", type=str, default=d.test_img_dir)
+    p.add_argument("--text_dir", type=str, default=d.text_dir)
+    p.add_argument("--checkpoint_dir", type=str, default=d.checkpoint_dir)
+    p.add_argument("--log_dir", type=str, default=d.log_dir)
+    p.add_argument("--train_data_path", type=str, default=d.train_data_path)
+    p.add_argument("--test_data_path", type=str, default=d.test_data_path)
+    p.add_argument("--t_step_size", type=int, default=d.t_step_size)
+    p.add_argument("--t_sampling_num", type=int, default=d.t_sampling_num)
+    p.add_argument("--epochs", type=int, default=d.epochs)
+    p.add_argument("--freq_display", type=int, default=d.freq_display)
+    p.add_argument("--epoch_freq_display", type=int,
+                   default=d.epoch_freq_display)
+    p.add_argument("--epoch_freq_save", type=int, default=d.epoch_freq_save)
+    p.add_argument("--init_lr", type=float, default=d.init_lr)
+    p.add_argument("--lr_type", type=str, default=d.lr_type,
+                   choices=["linear_decay", "stair_decay", "no_decay"])
+    p.add_argument("--lr_dec_fac", type=float, default=d.lr_dec_fac)
+    p.add_argument("--lr_milestones", type=int, nargs="+",
+                   default=list(d.lr_milestones))
+    p.add_argument("--lr_dec_start", type=int, default=d.lr_dec_start)
+    p.add_argument("--batch_size", type=int, default=d.batch_size)
+    p.add_argument("--weight_decay", type=float, default=d.weight_decay)
+    p.add_argument("--need_patch", type=bool, default=d.need_patch)
+    p.add_argument("--img_ch", type=int, default=d.img_ch)
+    p.add_argument("--nf", type=int, default=d.nf)
+    p.add_argument("--scale_factor", type=int, default=d.scale_factor)
+    p.add_argument("--patch_size", type=int, default=d.patch_size)
+    p.add_argument("--num_thrds", type=int, default=d.num_thrds)
+    p.add_argument("--loss_type", type=str, default=d.loss_type,
+                   choices=["L1", "MSE", "L1_Charbonnier_loss"])
+    p.add_argument("--num_ResB_FACFB", type=int, default=d.num_ResB_FACFB)
+    p.add_argument("--num_ResB_Dec", type=int, default=d.num_ResB_Dec)
+    p.add_argument("--N_trn", type=int, default=d.N_trn)
+    p.add_argument("--N_tst", type=int, default=d.N_tst)
+    p.add_argument("--shared_FGAC_flag", type=bool, default=d.shared_FGAC_flag)
+    p.add_argument("--rec_D1_lambda", type=float, default=d.rec_D1_lambda)
+    p.add_argument("--rec_D2_lambda", type=float, default=d.rec_D2_lambda)
+    p.add_argument("--load_best_PSNR_flag", action="store_true")
+    p.add_argument("--visualization_flag", action="store_true")
+    p.add_argument("--test_patch", type=int, nargs=2, default=list(d.test_patch))
+    p.add_argument("--patch_boundary", type=int, default=d.patch_boundary)
+    p.add_argument("--multiple_MFI", type=int, default=d.multiple_MFI)
+    p.add_argument("--custom_path", type=str, default=d.custom_path)
+    # TPU extensions
+    p.add_argument("--compute_dtype", type=str, default=d.compute_dtype,
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--mesh_data", type=int, default=d.mesh_data)
+    p.add_argument("--mesh_spatial", type=int, default=d.mesh_spatial)
+    p.add_argument("--seed", type=int, default=d.seed)
+    a = p.parse_args(argv)
+
+    fields = {f.name for f in dataclasses.fields(DeMFIConfig)}
+    kwargs = {k: v for k, v in vars(a).items() if k in fields}
+    kwargs["test_patch"] = tuple(a.test_patch)
+    kwargs["lr_milestones"] = tuple(a.lr_milestones)
+    kwargs["fine_tuning"] = bool(a.fine_tuning)
+    return DeMFIConfig(**kwargs)
+
+
+def _writer(cfg):
+    try:
+        from tensorboardX import SummaryWriter
+        return SummaryWriter(cfg.log_dir)
+    except Exception:
+        return None
+
+
+def run_train(cfg: DeMFIConfig) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from demfi_tpu.checkpoint import ExperimentManager
+    from demfi_tpu.data import AdobeTrainDataset, TrainLoader
+    from demfi_tpu.infer import InferenceEngine
+    from demfi_tpu.infer.driver import evaluate
+    from demfi_tpu.models import make_model
+    from demfi_tpu.parallel import make_mesh
+    from demfi_tpu.train import create_train_state, make_train_step
+    from demfi_tpu.utils.meters import AverageMeter, ProgressPrinter
+
+    em = ExperimentManager(cfg)
+    model = make_model(cfg)
+    state, tx = create_train_state(cfg, model, jax.random.PRNGKey(cfg.seed))
+    mesh = make_mesh(cfg.mesh_data, cfg.mesh_spatial)
+    step = make_train_step(cfg, model, tx, mesh=mesh)
+    writer = _writer(cfg)
+
+    start_epoch = 0
+    best_psnr = 0.0
+    if cfg.fine_tuning:
+        if cfg.fine_tuning_epoch_point:
+            state_params, opt_state, meta = em.load_epoch(
+                cfg.fine_tuning_epoch_point, state.params, state.opt_state)
+        else:
+            state_params, opt_state, meta = em.load_latest(
+                state.params, state.opt_state)
+        state = dataclasses.replace(
+            state, params=state_params,
+            opt_state=opt_state if opt_state is not None else state.opt_state)
+        start_epoch = int(meta.get("last_epoch", -1)) + 1
+        best_psnr = float(meta.get("best_PSNR", 0.0))
+
+    ds = AdobeTrainDataset(cfg.train_data_path, cfg.t_step_size,
+                           cfg.patch_size, cfg.need_patch)
+    loader = TrainLoader(ds, cfg.batch_size, cfg.num_thrds, cfg.seed)
+    em.write_info("Epoch\tintp_testPSNR\tdeblur_testPSNR\tavg_testPSNR"
+                  "\tbest_PSNR\n")
+    print("[*] Training starts")
+
+    results = (0.0,) * 5 + ("",)
+    for epoch in range(start_epoch, cfg.epochs):
+        state = dataclasses.replace(state,
+                                    epoch=jnp.asarray(epoch, jnp.int32))
+        losses = AverageMeter("trainLoss:", ":.4e")
+        d1m = AverageMeter("trainLoss_rec_D1:", ":.4e")
+        d2m = AverageMeter("trainLoss_rec_D2:", ":.4e")
+        btime = AverageMeter("Batch_Time[s]:", ":6.3f")
+        progress = ProgressPrinter(len(loader), btime, losses, d1m, d2m,
+                                   prefix=f"Epoch: [{epoch}]")
+        print(f"Start epoch {epoch} at [{str(datetime.now())[:-7]}], "
+              f"learning rate : [{cfg.lr_at_epoch(epoch)}]")
+        t_last = time.time()
+        for it, (frames, ts) in enumerate(loader.epoch(epoch)):
+            state, m = step(state, jnp.asarray(frames), jnp.asarray(ts))
+            losses.update(float(m["total_loss"]), 1)
+            d1m.update(float(m["rec_D1"]), 1)
+            d2m.update(float(m["rec_D2"]), 1)
+            btime.update(time.time() - t_last)
+            t_last = time.time()
+            if it == cfg.freq_display - 1:
+                progress.print(it)
+                if writer:
+                    tb = it + epoch * len(loader)
+                    writer.add_scalar("trainLoss", losses.val, tb)
+                    writer.add_scalar("trainLoss_rec_D1", d1m.val, tb)
+                    writer.add_scalar("trainLoss_rec_D2", d2m.val, tb)
+
+        if (epoch + 1) % cfg.epoch_freq_display == 0 or epoch == 0:
+            engine = InferenceEngine(model, state.params, cfg.N_trn)
+            results = evaluate(cfg, engine, multiple=2, epoch=epoch,
+                               center_patch=cfg.patch_size,
+                               test_type="valid_5_per_scene",
+                               post_fix="_x2_valid_5_intervals",
+                               writer=writer)
+        test_loss, intp_p, intp_s, dblr_p, dblr_s, save_path = results
+        score = (intp_p + dblr_p) / 2
+        best_flag = score > best_psnr
+        best_psnr = max(score, best_psnr)
+        meta = dict(last_epoch=epoch, best_PSNR=best_psnr,
+                    intp_testPSNR=intp_p, intp_testSSIM=intp_s,
+                    deblur_testPSNR=dblr_p, deblur_testSSIM=dblr_s,
+                    testLoss=test_loss, trainLoss=losses.avg,
+                    learningRate=cfg.lr_at_epoch(epoch),
+                    batch_size=cfg.batch_size)
+        em.save_latest(state.params, state.opt_state, meta, best_flag)
+        if (epoch + 1) % cfg.epoch_freq_save == 0:
+            em.save_epoch(epoch, state.params, state.opt_state, meta)
+        em.write_info(f"{epoch}\t{intp_p:.4}\t{dblr_p:.4}\t{score:.4}"
+                      f"\t{best_psnr:.4}\n")
+
+    print("-" * 20, "Training has been ended.", "-" * 20)
+    print("best_PSNR of model:", best_psnr)
+    engine = InferenceEngine(model, state.params, cfg.N_tst)
+    evaluate(cfg, engine, multiple=cfg.multiple_MFI, epoch=cfg.epochs - 1,
+             post_fix=f"_final_x{cfg.multiple_MFI}_full_resolution"
+                      f"_Ntst{cfg.N_tst}",
+             test_patch=cfg.test_patch, writer=writer)
+
+
+def _load_eval_params(cfg):
+    import jax
+    import jax.numpy as jnp
+
+    from demfi_tpu.checkpoint import ExperimentManager
+    from demfi_tpu.models import make_model
+
+    em = ExperimentManager(cfg)
+    model = make_model(cfg)
+    template = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 4, 32, 32, 3)),
+                           jnp.zeros((1, 1)), num_update=1))
+    template = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), template)
+    if cfg.test_epoch_point:
+        params, _, meta = em.load_epoch(cfg.test_epoch_point, template)
+    elif cfg.load_best_PSNR_flag:
+        params, _, meta = em.load_best_psnr(template)
+    else:
+        params, _, meta = em.load_latest(template)
+    print(f"loaded checkpoint, epoch: {meta.get('last_epoch', '?')}")
+    return model, params
+
+
+def run_test(cfg: DeMFIConfig) -> None:
+    from demfi_tpu.infer import InferenceEngine
+    from demfi_tpu.infer.driver import evaluate
+
+    model, params = _load_eval_params(cfg)
+    engine = InferenceEngine(model, params, cfg.N_tst)
+    print(f"Evaluating on {cfg.test_data_path} with multiple = "
+          f"{cfg.multiple_MFI} with full resolution")
+    evaluate(cfg, engine, multiple=cfg.multiple_MFI,
+             epoch=cfg.epochs - 1, test_patch=cfg.test_patch,
+             post_fix=f"_final_x{cfg.multiple_MFI}_full_resolution"
+                      f"_Ntst{cfg.N_tst}")
+
+
+def run_test_custom(cfg: DeMFIConfig) -> None:
+    from demfi_tpu.infer import InferenceEngine
+    from demfi_tpu.infer.driver import evaluate_custom
+
+    model, params = _load_eval_params(cfg)
+    engine = InferenceEngine(model, params, cfg.N_tst)
+    print(f"Evaluating on {cfg.custom_path} with multiple = "
+          f"{cfg.multiple_MFI}")
+    evaluate_custom(cfg, engine, multiple=cfg.multiple_MFI,
+                    test_patch=cfg.test_patch)
+
+
+def cli(argv=None) -> None:
+    # Optional platform override (e.g. DEMFI_PLATFORM=cpu) — applied via
+    # jax.config because the axon sitecustomize ignores JAX_PLATFORMS.
+    plat = os.environ.get("DEMFI_PLATFORM")
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
+    cfg = parse_args(argv)
+    for f in dataclasses.fields(cfg):
+        print(f"# {f.name} : {getattr(cfg, f.name)}")
+    if cfg.phase == "train":
+        run_train(cfg)
+    elif cfg.phase == "test":
+        run_test(cfg)
+    else:
+        run_test_custom(cfg)
+
+
+if __name__ == "__main__":
+    cli()

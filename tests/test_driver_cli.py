@@ -1,0 +1,103 @@
+"""End-to-end driver + CLI tests on a synthetic dataset (CPU)."""
+import json
+import os
+import glob
+
+import cv2
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from demfi_tpu.config import config_rb
+from demfi_tpu.models import make_model
+from demfi_tpu.infer import InferenceEngine
+from demfi_tpu.infer.driver import evaluate, evaluate_custom
+from demfi_tpu.main import parse_args
+
+
+@pytest.fixture(scope="module")
+def small_setup(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ds")
+    rng = np.random.RandomState(0)
+    for s in range(2):
+        sharp = root / "test" / f"scene{s}"
+        blur = root / "test_blur" / f"scene{s}"
+        sharp.mkdir(parents=True)
+        blur.mkdir(parents=True)
+        for i in range(60):
+            cv2.imwrite(str(sharp / f"{str(i).zfill(5)}.png"),
+                        rng.randint(0, 255, (48, 64, 3), np.uint8))
+        for k in range(5):
+            cv2.imwrite(str(blur / f"{str(17 + 8 * k).zfill(5)}.png"),
+                        rng.randint(0, 255, (48, 64, 3), np.uint8))
+
+    cfg = config_rb(1, 1, test_data_path=str(root),
+                    test_img_dir=str(root / "imgs"),
+                    text_dir=str(root / "text"),
+                    checkpoint_dir=str(root / "ckpt"),
+                    log_dir=str(root / "log"))
+    model = make_model(cfg)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 4, 48, 64, 3)), jnp.zeros((1, 1)),
+                        num_update=1)
+    engine = InferenceEngine(model, params, num_update=1)
+    return cfg, engine, str(root)
+
+
+def test_evaluate_x2(small_setup):
+    cfg, engine, root = small_setup
+    loss, ip, is_, dp, ds_ = evaluate(cfg, engine, multiple=2, epoch=0,
+                                      post_fix="_t")[:5]
+    # random weights: outputs are garbage but finite, psnr single digits
+    assert np.isfinite([loss, ip, is_, dp, ds_]).all()
+    assert 0 < ip < 60 and 0 < dp < 60
+    # St pngs written: 2 scenes x 2 windows x 1 t
+    pngs = glob.glob(os.path.join(cfg.test_img_dir, cfg.model_dir,
+                                  "epoch_00000_t", "scene*", "*.png"))
+    assert len(pngs) > 0
+
+
+def test_evaluate_x8_slots(small_setup):
+    cfg, engine, root = small_setup
+    out = evaluate(cfg, engine, multiple=8, epoch=1, post_fix="_t8",
+                   save_images=False)
+    assert np.isfinite(out[:5]).all()
+
+
+def test_evaluate_custom(small_setup, tmp_path):
+    cfg, engine, root = small_setup
+    rng = np.random.RandomState(1)
+    scene = tmp_path / "clipA"
+    scene.mkdir()
+    for i in range(5):
+        cv2.imwrite(str(scene / f"{str(i).zfill(5)}.png"),
+                    rng.randint(0, 255, (48, 64, 3), np.uint8))
+    import dataclasses
+    cfg2 = dataclasses.replace(cfg, custom_path=str(tmp_path))
+    evaluate_custom(cfg2, engine, multiple=4)
+    out = sorted(os.listdir(tmp_path / "clipA_sharply_interpolated_x4"))
+    # windows at idx 1,2: S0,S1 per window + 3 St each
+    assert "00001_000.png" in out and "00001_002.png" in out
+    assert "00001.png" in out and "00002.png" in out
+
+
+def test_cli_parse_defaults():
+    cfg = parse_args(["--phase", "test", "--multiple_MFI", "8",
+                      "--test_patch", "2", "2", "--exp_num", "3"])
+    assert cfg.phase == "test"
+    assert cfg.multiple_MFI == 8
+    assert cfg.test_patch == (2, 2)
+    assert cfg.model_dir == "DeMFInet_exp3"
+
+
+def test_graft_entry_single():
+    import __graft_entry__ as g
+    fn, (params, frames, t) = g.entry()
+    out = jax.jit(fn)(params, frames, t)
+    assert out[0].shape == (1, 256, 256, 3)
+
+
+def test_graft_dryrun_multichip():
+    import __graft_entry__ as g
+    g.dryrun_multichip(8)
