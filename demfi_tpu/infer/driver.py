@@ -192,6 +192,20 @@ def evaluate(cfg: DeMFIConfig, engine: InferenceEngine, multiple: int,
                         scene_dir, os.path.basename(it.s1_path)),
                         to_png_uint8(res.s1_final[j]))
 
+            if save_images and cfg.visualization_flag:
+                from demfi_tpu.utils.viz import eval_visualization
+                viz_dir = os.path.join(
+                    save_root + "_visualizations", items[0].scene)
+                os.makedirs(viz_dir, exist_ok=True)
+                grid = eval_visualization(
+                    res.ovlp[j], res.st_prime[j], res.st_final[j],
+                    sts_gt[j], res.flow_init[j], res.flow_final[j],
+                    res.occ0_init[j], res.occ0_final[j],
+                    res.blend_w0[j], res.blend_w1[j],
+                    res.diff_10[j], res.diff_01[j])
+                cv2.imwrite(os.path.join(
+                    viz_dir, os.path.basename(it.st_path)), grid)
+
         if writer is not None:
             tb = w * m1 + epoch * len(ds)
             writer.add_scalar("testLoss", losses.val, tb)

@@ -46,6 +46,10 @@ class WindowResult:
     occ0_init: np.ndarray  # [T,H,W,1]
     occ0_final: np.ndarray
     ovlp: np.ndarray       # [T,H,W,3]
+    blend_w0: np.ndarray   # [T,H,W,1] FGAC gate maps (t-independent,
+    blend_w1: np.ndarray   #           broadcast over t)
+    diff_10: np.ndarray    # [T,H,W,1] FGAC difference maps
+    diff_01: np.ndarray
 
 
 def _pad_reflect_to_multiple(frames: np.ndarray, m: int) -> Tuple[np.ndarray, int, int]:
@@ -164,7 +168,9 @@ class InferenceEngine:
             s0_prime=canvas(3), s1_prime=canvas(3), st_prime=canvas(3),
             s0_final=canvas(3), s1_final=canvas(3), st_final=canvas(3),
             flow_init=canvas(4), flow_final=canvas(4),
-            occ0_init=canvas(1), occ0_final=canvas(1), ovlp=canvas(3))
+            occ0_init=canvas(1), occ0_final=canvas(1), ovlp=canvas(3),
+            blend_w0=canvas(1), blend_w1=canvas(1),
+            diff_10=canvas(1), diff_01=canvas(1))
 
         for ph in range(n_ph):
             for pw in range(n_pw):
@@ -194,6 +200,10 @@ class InferenceEngine:
                 put("occ0_init", out.occ0_preds[0])
                 put("occ0_final", out.occ0_preds[-1])
                 put("ovlp", out.ovlp_b0b1)
+                put("blend_w0", out.blend_weights[0])
+                put("blend_w1", out.blend_weights[1])
+                put("diff_10", out.diff_maps[0])
+                put("diff_01", out.diff_maps[1])
 
         # crop the pad back (utils.py:1452-1474)
         return WindowResult(**{k: v[:, :ori_h, :ori_w, :]

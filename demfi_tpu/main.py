@@ -140,6 +140,23 @@ def run_train(cfg: DeMFIConfig) -> None:
     ds = AdobeTrainDataset(cfg.train_data_path, cfg.t_step_size,
                            cfg.patch_size, cfg.need_patch)
     loader = TrainLoader(ds, cfg.batch_size, cfg.num_thrds, cfg.seed)
+
+    # debug-sheet forward (reference saves sample sheets while training,
+    # main.py:463-508)
+    debug_fwd = jax.jit(lambda p, f, t: model.apply(
+        p, f, t, num_update=cfg.N_trn))
+
+    def save_debug(epoch, it, frames, ts, params):
+        from demfi_tpu.utils.viz import train_debug_sheet
+        import cv2
+        out = jax.device_get(debug_fwd(params, jnp.asarray(frames[:, :4]),
+                                       jnp.asarray(ts)))
+        path = os.path.join(cfg.test_img_dir, cfg.model_dir,
+                            "while_training")
+        os.makedirs(path, exist_ok=True)
+        sheet = train_debug_sheet(frames, ts, out)
+        cv2.imwrite(os.path.join(
+            path, f"trainIdx_{str(it).zfill(5)}_Bx20.png"), sheet)
     em.write_info("Epoch\tintp_testPSNR\tdeblur_testPSNR\tavg_testPSNR"
                   "\tbest_PSNR\n")
     print("[*] Training starts")
@@ -171,6 +188,8 @@ def run_train(cfg: DeMFIConfig) -> None:
                     writer.add_scalar("trainLoss", losses.val, tb)
                     writer.add_scalar("trainLoss_rec_D1", d1m.val, tb)
                     writer.add_scalar("trainLoss_rec_D2", d2m.val, tb)
+            if it in (0, cfg.freq_display - 1, (cfg.freq_display - 1) * 2):
+                save_debug(epoch, it, frames, ts, state.params)
 
         if (epoch + 1) % cfg.epoch_freq_display == 0 or epoch == 0:
             engine = InferenceEngine(model, state.params, cfg.N_trn)

@@ -1,0 +1,53 @@
+"""Visualization tests."""
+import numpy as np
+
+from demfi_tpu.utils.viz import (flow_to_color, make_grid,
+                                 train_debug_sheet, eval_visualization)
+
+
+def test_flow_to_color_properties():
+    h, w = 32, 32
+    flow = np.zeros((h, w, 2), np.float32)
+    img = flow_to_color(flow)
+    assert img.shape == (h, w, 3) and img.dtype == np.uint8
+    # zero flow -> white-ish (mag 0)
+    assert (img > 240).all()
+    # opposite directions -> different colors
+    a = flow_to_color(np.full((4, 4, 2), [5.0, 0.0], np.float32))
+    b = flow_to_color(np.full((4, 4, 2), [-5.0, 0.0], np.float32))
+    assert np.abs(a.astype(int) - b.astype(int)).max() > 50
+    # NaN safe
+    f = np.full((4, 4, 2), np.nan, np.float32)
+    assert flow_to_color(f).shape == (4, 4, 3)
+
+
+def test_make_grid():
+    cell = np.full((8, 10, 3), 7, np.uint8)
+    g = make_grid([[cell, cell], [cell]])
+    assert g.shape == (16, 20, 3)
+    assert (g[8:, 10:] == 0).all()  # missing cell zero-filled
+
+
+def test_debug_sheet_and_eval_grid():
+    import jax, jax.numpy as jnp
+    from demfi_tpu.config import config_rb
+    from demfi_tpu.models import make_model
+
+    cfg = config_rb(1, 1)
+    model = make_model(cfg)
+    rng = np.random.RandomState(0)
+    frames = rng.uniform(-1, 1, (1, 9, 32, 32, 3)).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.asarray(frames[:, :4]), jnp.zeros((1, 1)),
+                        num_update=1)
+    out = jax.device_get(model.apply(params, jnp.asarray(frames[:, :4]),
+                                     jnp.full((1, 1), 0.5), num_update=1))
+    sheet = train_debug_sheet(frames, np.full((1, 1), 0.5), out)
+    assert sheet.shape == (32, 20 * 32, 3) and sheet.dtype == np.uint8
+
+    hw1 = np.random.rand(32, 32, 1).astype(np.float32)
+    grid = eval_visualization(
+        frames[0, 0], frames[0, 1], frames[0, 2], frames[0, 4],
+        np.asarray(out.flow_preds[0][0]), np.asarray(out.flow_preds[-1][0]),
+        hw1, hw1, hw1, hw1, hw1, hw1)
+    assert grid.shape == (3 * 32, 10 * 32, 3)
