@@ -62,13 +62,15 @@ class AdobeTrainDataset:
     """
 
     def __init__(self, train_data_path: str, t_step_size: int = 8,
-                 patch_size: int = 256, need_patch: bool = True):
+                 patch_size: int = 256, need_patch: bool = True,
+                 use_native: bool = True):
         self.sharp, self.blur = build_train_index(train_data_path)
         if not self.sharp:
             raise RuntimeError(f"no scenes under {train_data_path}")
         self.k = t_step_size
         self.patch_size = patch_size
         self.need_patch = need_patch
+        self.use_native = use_native
         self.t_grid = np.linspace(1 / self.k, 1 - 1 / self.k, self.k - 1)
 
     def __len__(self) -> int:
@@ -103,16 +105,28 @@ class AdobeTrainDataset:
         imgs += [_imread(sharp[i]) for i in sharp_ids[1:]]
         frames = np.stack(imgs, axis=0)  # [9,H,W,3]
 
+        ih, iw = frames.shape[1:3]
         if self.need_patch:
             ps = self.patch_size
-            ih, iw = frames.shape[1:3]
             ix = rng.randrange(0, iw - ps + 1)
             iy = rng.randrange(0, ih - ps + 1)
-            frames = frames[:, iy:iy + ps, ix:ix + ps]
-        if rng.random() < 0.5:
-            frames = frames[:, :, ::-1]
-        frames = np.rot90(frames, rng.randint(0, 3), (1, 2))
+        else:
+            ps, ix, iy = min(ih, iw), 0, 0
+        flip = rng.random() < 0.5
+        rot = rng.randint(0, 3)
 
+        if self.use_native:
+            from demfi_tpu.data import native
+            try:
+                out = native.augment_pack(frames, iy, ix, ps, flip, rot)
+                return TrainSample(out, np.array([t_value], np.float32))
+            except RuntimeError:
+                self.use_native = False  # no toolchain: numpy fallback
+
+        frames = frames[:, iy:iy + ps, ix:ix + ps]
+        if flip:
+            frames = frames[:, :, ::-1]
+        frames = np.rot90(frames, rot, (1, 2))
         return TrainSample(_normalize(np.ascontiguousarray(frames)),
                            np.array([t_value], np.float32))
 
