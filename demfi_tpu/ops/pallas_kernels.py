@@ -1,36 +1,32 @@
 """Pallas TPU kernels for the irregular-memory warping ops.
 
 XLA lowers arbitrary gathers to near-scalar loops on TPU (~2 s for one
-64-channel 640x352 backward warp), so the bilinear gather at the heart of
-``bwarp``/FGAC is hand-written here.
+64-channel 640x352 backward warp), and Mosaic's native dynamic gather is
+also element-serial — so the bilinear gather at the heart of ``bwarp`` and
+the FGAC sampler is reformulated onto the MXU:
 
-Kernel design (bilinear_gather_tpu):
-  The only fast dynamic gather Mosaic exposes is ``take_along_axis`` on a
-  [sublanes, 128] block along lanes. A 2D bilinear gather decomposes
-  canonically into a sweep over candidate source *rows* (the "delta sweep"):
-  for each window row offset d, pixels whose vertical tap lands on that row
-  contribute a lane-gather from an aligned 8/16-row slice of the source
-  window. The sweep is predicated (@pl.when) on any pixel actually using
-  the row, so cost adapts to the true vertical span of the flow instead of
-  the worst case. Horizontally, each 128-column output tile gathers from
-  the 3 source tiles covering +-128 px, each predicated as well.
+  For a 128-column output tile, the horizontal bilinear interpolation at
+  per-pixel coordinates is a matmul with a banded soft-one-hot matrix
+  A[(row, lane), src_col] = wx0*[src == x0] + wx1*[src == x0+1] built with
+  two vector compares. The vertical dimension is handled by sweeping
+  candidate 8-row source slabs (DMA'd on demand, predicated on any pixel
+  actually landing in the slab) and accumulating
+      out += wrow * (A_s @ slab_row[src_cols, C])
+  per active source row. Cost therefore scales with the *actual* vertical
+  span of the flow, and all heavy lifting is 128xC matmuls.
 
-  Out-of-window taps contribute zero. The source image is zero-padded so
-  in-window/out-of-image taps read zeros — exactly grid_sample's
-  zeros-padding (/root/reference/DeMFInet.py:508, 757). Taps farther than
-  the static window (|dy| > vr, |dx| > 127) also produce zero instead of
-  the reference's true sample; callers pick vr large enough that this
-  affects only extreme-motion outliers.
+Semantics: zero padding outside the image (grid_sample 'zeros',
+/root/reference/DeMFInet.py:508, 757). Taps farther than the static
+window (vr rows vertically / +-128 px horizontally in relative mode)
+contribute zero — callers pick vr to cover realistic motion; the exact
+XLA path in ops/warp.py remains the reference semantics.
 
-  Channels are packed into the gather operand's sublane axis ([Cc*rows,
-  128]) so one gather serves a whole channel chunk.
-
-Two addressing modes:
-  relative=True  : source rows cluster around the output row (bwarp).
-                   Window = output band +- vr rows.
-  relative=False : absolute coordinates near the image origin (the FGAC
+Addressing modes:
+  relative=True  : source rows/cols cluster around the output pixel
+                   (bwarp). Window = output band +- vr rows, +-128 cols.
+  relative=False : coordinates cluster near the image origin (the FGAC
                    absolute-coordinate quirk, DeMFInet.py:413-419).
-                   Window = rows [-2, span+8).
+                   Window = rows [-2, vr), cols [-128, 256).
 """
 from __future__ import annotations
 
@@ -49,177 +45,154 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _gather_kernel(py_ref, px_ref, img_ref, out_ref, win, sem, *,
-                   Cc: int, WR: int, H: int, W: int, Wpad: int,
-                   pad_rows: int, pad_cols: int, block_rows: int,
-                   n_ctiles: int, relative: bool, vr: int):
+def _warp_mm_kernel(py_ref, px_ref, img_ref, out_ref, slab, sem, *,
+                    C: int, H: int, W: int, n_slabs: int,
+                    pad_rows: int, pad_cols: int, block_rows: int,
+                    relative: bool, vr: int, acc_dtype):
     b = pl.program_id(0)
     rb = pl.program_id(1)
-    cc = pl.program_id(2)
+    ct = pl.program_id(2)
     r0 = rb * block_rows
-    ws = (r0 - vr - 1) if relative else -2  # window start, image row coords
+    cs = ct * LANES
 
-    # Align the DMA row start down to the sublane tiling (8); WR carries
-    # +8 slack so the window still covers all needed rows.
-    start_p = ws + pad_rows
-    aligned = pl.multiple_of((start_p // 8) * 8, 8)
-    ws = aligned - pad_rows
-
-    dma = pltpu.make_async_copy(
-        img_ref.at[b, pl.ds(pl.multiple_of(cc * Cc, Cc), Cc),
-                   pl.ds(aligned, WR), :],
-        win, sem)
-    dma.start()
-
-    py = py_ref[0]   # [block_rows, W]
+    py = py_ref[0]   # [block_rows, 128] absolute y coords
     px = px_ref[0]
     y0f = jnp.floor(py)
-    fy = py - y0f
+    fy = (py - y0f).astype(acc_dtype)
     x0f = jnp.floor(px)
-    fx = px - x0f
+    fx = (px - x0f).astype(acc_dtype)
     y0 = y0f.astype(jnp.int32)
     x0 = x0f.astype(jnp.int32)
 
+    # window start in image coords, aligned to 8 rows
+    ws = (((r0 - vr - 1 + pad_rows) // 8) * 8 - pad_rows) if relative else -8
+    # column window start (image coords): 3 source tiles of 128
+    cw = (cs - LANES) if relative else -LANES
+
+    # Soft interpolation matrices, one per source tile s:
+    # A_s[(i, l), k] = (1-fx)*[k == x0 - base_s] + fx*[k == x0+1 - base_s]
+    k_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (block_rows, LANES, LANES), 2)
+    a_mats = []
+    for s in range(3):
+        base = cw + s * LANES
+        lidx = (x0 - base)[:, :, None]
+        a = (jnp.where(k_iota == lidx, 1.0 - fx[:, :, None], 0.0)
+             + jnp.where(k_iota == lidx + 1, fx[:, :, None], 0.0))
+        a_mats.append(a.reshape(block_rows * LANES, LANES).astype(acc_dtype))
+
     out_ref[0] = jnp.zeros_like(out_ref[0])
 
-    dma.wait()
-
-    # Sweep candidate source rows in aligned 8-row slabs (Mosaic requires
-    # sublane slice starts to be multiples of 8); rows within a slab are
-    # selected at value level and broadcast across the output block.
-    n_slabs = WR // 8
-
     def slab_body(q, _):
-        q8 = pl.multiple_of(q * 8, 8)
-        slab = win[:, pl.ds(q8, 8), :]          # [Cc, 8, Wpad] (aligned)
-        slab_lo = ws + q * 8                    # image row of slab row 0
+        slab_lo = ws + q * 8  # image row of slab row 0
+        in0 = (y0 >= slab_lo) & (y0 < slab_lo + 8)
+        in1 = (y0 + 1 >= slab_lo) & (y0 + 1 < slab_lo + 8)
 
-        # any tap row in this slab?
-        in_slab0 = (y0 >= slab_lo) & (y0 < slab_lo + 8)
-        in_slab1 = (y0 + 1 >= slab_lo) & (y0 + 1 < slab_lo + 8)
-
-        @pl.when(jnp.any(in_slab0 | in_slab1))
+        @pl.when(jnp.any(in0 | in1))
         def _():
+            dma = pltpu.make_async_copy(
+                img_ref.at[b,
+                           pl.ds(pl.multiple_of(slab_lo + pad_rows, 8), 8),
+                           pl.ds(pl.multiple_of(cw + pad_cols, LANES),
+                                 3 * LANES), :],
+                slab, sem)
+            dma.start()
+            dma.wait()
             for o in range(8):
                 src_row = slab_lo + o
                 hit0 = y0 == src_row
                 hit1 = y0 + 1 == src_row
-                hit = hit0 | hit1
 
-                @pl.when(jnp.any(hit))
+                @pl.when(jnp.any(hit0 | hit1))
                 def _():
                     wrow = (jnp.where(hit0, 1.0 - fy, 0.0)
                             + jnp.where(hit1, fy, 0.0))
-                    row = slab[:, o, :]         # [Cc, Wpad] value select
-                    for c in range(n_ctiles):
-                        cs = c * LANES
-                        x0_t = x0[:, cs:cs + LANES]
-                        fx_t = fx[:, cs:cs + LANES]
-                        w_t = wrow[:, cs:cs + LANES]
-                        hit_t = hit[:, cs:cs + LANES]
-
-                        @pl.when(jnp.any(hit_t))
+                    for s in range(3):
+                        # does any pixel read from this source tile?
+                        near = (x0 >= cw + s * LANES - 1) & \
+                               (x0 < cw + (s + 1) * LANES)
+                        @pl.when(jnp.any((hit0 | hit1) & near))
                         def _():
-                            for s in range(3):  # source tiles: +-128 px
-                                base = cs + s * LANES - pad_cols
-                                rt = row[:, cs + s * LANES:
-                                         cs + (s + 1) * LANES]  # [Cc,128]
-                                opm = jnp.broadcast_to(
-                                    rt[:, None, :],
-                                    (Cc, block_rows, LANES)
-                                ).reshape(Cc * block_rows, LANES)
-                                for tx in (0, 1):
-                                    xt = x0_t + tx
-                                    lidx = xt - base
-                                    inr = (lidx >= 0) & (lidx < LANES)
-
-                                    @pl.when(jnp.any(inr & hit_t))
-                                    def _():
-                                        wx = fx_t if tx else 1.0 - fx_t
-                                        w = (w_t * wx
-                                             * inr.astype(jnp.float32))
-                                        idx = jnp.clip(lidx, 0, LANES - 1)
-                                        idx = jnp.broadcast_to(
-                                            idx[None],
-                                            (Cc, block_rows, LANES)
-                                        ).reshape(Cc * block_rows, LANES)
-                                        g = jnp.take_along_axis(
-                                            opm, idx, axis=1)
-                                        g = g.reshape(
-                                            Cc, block_rows, LANES)
-                                        out_ref[0, :, :, cs:cs + LANES] \
-                                            += g * w[None]
+                            rowmat = slab[o, s * LANES:(s + 1) * LANES, :]
+                            g = jnp.dot(a_mats[s],
+                                        rowmat.astype(acc_dtype),
+                                        preferred_element_type=acc_dtype)
+                            g = g.reshape(block_rows, LANES, C)
+                            out_ref[0] += (g * wrow[:, :, None]
+                                           ).astype(out_ref.dtype)
 
     jax.lax.fori_loop(0, n_slabs, slab_body, None)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("relative", "vr", "block_rows", "c_chunk"))
+    jax.jit, static_argnames=("relative", "vr", "block_rows", "acc_dtype"))
 def bilinear_gather_tpu(img: jnp.ndarray, coords: jnp.ndarray, *,
-                        relative: bool = True, vr: int = 48,
-                        block_rows: int = 16, c_chunk: int = 8
+                        relative: bool = True, vr: int = 64,
+                        block_rows: int = 16,
+                        acc_dtype=jnp.float32
                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Bilinear gather of img [B,H,W,C] at absolute pixel coords
     [B,H,W,2] (x, y). Returns (values [B,H,W,C], ones [B,H,W,1]) where
-    ``ones`` is the closed-form warp of an all-ones image with
-    grid_sample's in-image validity (used for bwarp's 0.999 mask).
-    """
+    ``ones`` is the closed-form warp of an all-ones image with in-image
+    validity (used for bwarp's 0.999 mask)."""
     b, h, w, c = img.shape
     dtype = img.dtype
     px = coords[..., 0].astype(jnp.float32)
     py = coords[..., 1].astype(jnp.float32)
 
-    # pad channel count to a multiple of c_chunk, W to a multiple of 128
-    cp = _ceil_to(c, c_chunk)
+    cp = _ceil_to(max(c, 8), 8)
     wp_out = _ceil_to(w, LANES)
     hp_out = _ceil_to(h, block_rows)
-    pad_rows = vr + 18  # slack for WR rounding + DMA start down-alignment
+    # taps beyond the image height are out-of-bounds zeros anyway
+    vr = min(vr, hp_out)
+    pad_rows = _ceil_to(vr + 24, 8)
     pad_cols = LANES
 
     imgp = jnp.pad(img.astype(jnp.float32),
                    ((0, 0), (pad_rows, pad_rows + hp_out - h),
                     (pad_cols, pad_cols + wp_out - w), (0, cp - c)))
-    imgp = imgp.transpose(0, 3, 1, 2)  # [B, C, Hpad, Wpad]
-    wpad = imgp.shape[3]
 
     pxp = jnp.pad(px, ((0, 0), (0, hp_out - h), (0, wp_out - w)),
                   constant_values=-1e6)
     pyp = jnp.pad(py, ((0, 0), (0, hp_out - h), (0, wp_out - w)),
                   constant_values=-1e6)
 
-    wr = _ceil_to(((2 * vr + 2 + block_rows) if relative
-                   else (vr + 2 + block_rows)) + 8, 8)
-    n_ctiles = wp_out // LANES
-    grid = (b, hp_out // block_rows, cp // c_chunk)
+    # number of candidate 8-row slabs the sweep visits
+    if relative:
+        n_slabs = (2 * vr + 2 + block_rows) // 8 + 2
+    else:
+        n_slabs = (vr + block_rows) // 8 + 2
+    grid = (b, hp_out // block_rows, wp_out // LANES)
 
     kernel = functools.partial(
-        _gather_kernel, Cc=c_chunk, WR=wr, H=h, W=wp_out, Wpad=wpad,
+        _warp_mm_kernel, C=cp, H=h, W=w, n_slabs=n_slabs,
         pad_rows=pad_rows, pad_cols=pad_cols, block_rows=block_rows,
-        n_ctiles=n_ctiles, relative=relative, vr=vr)
+        relative=relative, vr=vr, acc_dtype=acc_dtype)
 
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, cp, hp_out, wp_out), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, hp_out, wp_out, cp),
+                                       jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_rows, wp_out),
-                         lambda b_, r_, c_: (b_, r_, 0),
+            pl.BlockSpec((1, block_rows, LANES),
+                         lambda b_, r_, c_: (b_, r_, c_),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_rows, wp_out),
-                         lambda b_, r_, c_: (b_, r_, 0),
+            pl.BlockSpec((1, block_rows, LANES),
+                         lambda b_, r_, c_: (b_, r_, c_),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((1, c_chunk, block_rows, wp_out),
-                               lambda b_, r_, c_: (b_, c_, r_, 0),
+        out_specs=pl.BlockSpec((1, block_rows, LANES, cp),
+                               lambda b_, r_, c_: (b_, r_, c_, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((c_chunk, wr, wpad), jnp.float32),
+            pltpu.VMEM((8, 3 * LANES, cp), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )(pyp, pxp, imgp)
 
-    vals = out.transpose(0, 2, 3, 1)[:, :h, :w, :c].astype(dtype)
+    vals = out[:, :h, :w, :c].astype(dtype)
 
     # closed-form warp of ones (in-image validity only — reference mask
     # semantics, DeMFInet.py:758-759)
@@ -238,7 +211,7 @@ def bilinear_gather_tpu(img: jnp.ndarray, coords: jnp.ndarray, *,
     return vals, ones[..., None].astype(dtype)
 
 
-def bwarp_tpu(x: jnp.ndarray, flow: jnp.ndarray, *, vr: int = 48) -> jnp.ndarray:
+def bwarp_tpu(x: jnp.ndarray, flow: jnp.ndarray, *, vr: int = 64) -> jnp.ndarray:
     """TPU fast path for demfi_tpu.ops.bwarp (same semantics; taps farther
     than vr rows vertically or 128 px horizontally contribute zero)."""
     b, h, w, c = x.shape
@@ -252,9 +225,9 @@ def bwarp_tpu(x: jnp.ndarray, flow: jnp.ndarray, *, vr: int = 48) -> jnp.ndarray
 
 
 def bilinear_sample_abs_tpu(img: jnp.ndarray, coords: jnp.ndarray, *,
-                            span: int = 96) -> jnp.ndarray:
+                            span: int = 128) -> jnp.ndarray:
     """TPU fast path for the FGAC absolute-coordinate sampler: coordinates
-    cluster near the origin (raw flow values), so the window is rows
-    [-2, span+block)."""
+    cluster near the image origin (raw flow values), so the window is rows
+    [-8, span) x cols [-128, 256)."""
     vals, _ = bilinear_gather_tpu(img, coords, relative=False, vr=span)
     return vals
