@@ -231,3 +231,159 @@ def bilinear_sample_abs_tpu(img: jnp.ndarray, coords: jnp.ndarray, *,
     [-8, span) x cols [-128, 256)."""
     vals, _ = bilinear_gather_tpu(img, coords, relative=False, vr=span)
     return vals
+
+
+# ---------------------------------------------------------------------------
+# Forward warp (scatter-add) — CFR's fwarp (DeMFInet.py:625-729)
+# ---------------------------------------------------------------------------
+def _fwarp_mm_kernel(ty_ref, tx_ref, val_ref, out_ref, slab_v, slab_y,
+                     slab_x, sem_v, sem_y, sem_x, *,
+                     C: int, n_slabs: int, pad_rows: int, pad_cols: int,
+                     block_rows: int, vr: int):
+    """Output-stationary scatter: for each output block, sweep candidate
+    *source* slabs; each source row's pixels are split by target row with
+    Gaussian row weights (separable, get_gaussian_weights in the
+    reference), then routed to target columns by a transposed banded
+    soft-one-hot matmul."""
+    b = pl.program_id(0)
+    rb = pl.program_id(1)
+    ct = pl.program_id(2)
+    r0 = rb * block_rows
+    cs = ct * LANES
+
+    ws = ((r0 - vr - 1 + pad_rows) // 8) * 8 - pad_rows
+    cw = cs - LANES
+
+    out_ref[0] = jnp.zeros_like(out_ref[0])
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (block_rows, 1, 1), 0)
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (3 * LANES, LANES), 1)
+
+    def slab_body(q, _):
+        slab_lo = ws + q * 8
+
+        start_r = pl.multiple_of(slab_lo + pad_rows, 8)
+        start_c = pl.multiple_of(cw + pad_cols, LANES)
+        d1 = pltpu.make_async_copy(
+            ty_ref.at[b, pl.ds(start_r, 8), pl.ds(start_c, 3 * LANES)],
+            slab_y, sem_y)
+        d2 = pltpu.make_async_copy(
+            tx_ref.at[b, pl.ds(start_r, 8), pl.ds(start_c, 3 * LANES)],
+            slab_x, sem_x)
+        d3 = pltpu.make_async_copy(
+            val_ref.at[b, pl.ds(start_r, 8), pl.ds(start_c, 3 * LANES), :],
+            slab_v, sem_v)
+        d1.start()
+        d2.start()
+        d3.start()
+        d1.wait()
+        d2.wait()
+        d3.wait()
+        sty = slab_y[:, :]           # [8, 384] target y (absolute, float)
+        stx = slab_x[:, :]
+        y0 = jnp.floor(sty)
+        fyw = sty - y0
+        x0 = jnp.floor(stx)
+        fxw = stx - x0
+        y0i = y0.astype(jnp.int32)
+        x0i = x0.astype(jnp.int32)
+        # Gaussian corner weights (separable): exp(-(f-t)^2) per axis
+        wy = [jnp.exp(-(fyw ** 2)), jnp.exp(-((fyw - 1.0) ** 2))]
+        wx = [jnp.exp(-(fxw ** 2)), jnp.exp(-((fxw - 1.0) ** 2))]
+
+        # any source pixel in this slab targeting our block?
+        hit_any = ((y0i >= r0 - 1) & (y0i < r0 + block_rows)
+                   & (x0i >= cs - 1) & (x0i < cs + LANES))
+
+        @pl.when(jnp.any(hit_any))
+        def _():
+            # transposed soft-one-hot: rows = source cols (3 tiles
+            # flattened), cols = our 128 output cols
+            for o in range(8):
+                y0r = y0i[o][None, :]      # [1, 384]
+                row_hit = ((y0r >= r0 - 1) & (y0r < r0 + block_rows))
+
+                @pl.when(jnp.any(row_hit))
+                def _():
+                    # route columns: A[src, dst] with both x taps
+                    lx = (x0i[o][:, None] - cs)          # [384, 1]
+                    a = (jnp.where(k_iota == lx, wx[0][o][:, None], 0.0)
+                         + jnp.where(k_iota == lx + 1,
+                                     wx[1][o][:, None], 0.0))
+                    # split source pixels by target row with y-tap weights
+                    wr = (jnp.where(y0r == r0 + row_i, wy[0][o], 0.0)
+                          + jnp.where(y0r + 1 == r0 + row_i,
+                                      wy[1][o], 0.0))  # [block_rows,1,384]
+                    v = slab_v[o]                        # [384, C]
+                    # [block_rows, 384, C] masked values -> matmul over src
+                    mv = wr.reshape(block_rows, 3 * LANES, 1) * v[None]
+                    mv = mv.transpose(0, 2, 1).reshape(
+                        block_rows * C, 3 * LANES)
+                    g = jnp.dot(mv, a, preferred_element_type=jnp.float32)
+                    g = g.reshape(block_rows, C, LANES).transpose(0, 2, 1)
+                    out_ref[0] += g
+
+    jax.lax.fori_loop(0, n_slabs, slab_body, None)
+
+
+@functools.partial(jax.jit, static_argnames=("vr", "block_rows"))
+def fwarp_tpu(img: jnp.ndarray, flo: jnp.ndarray, *, vr: int = 64,
+              block_rows: int = 16) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """TPU forward warp: Gaussian-weighted scatter-add of img [B,H,W,C]
+    along flo [B,H,W,2] (ch0 = dx, ch1 = dy). Returns (warped,
+    weight_norm [B,H,W,1]). Displacements beyond +-vr rows / +-127 cols
+    are dropped (they land out of the swept window)."""
+    b, h, w, c = img.shape
+    gx = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    gy = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+    ty = gy + flo[..., 1].astype(jnp.float32)
+    tx = gx + flo[..., 0].astype(jnp.float32)
+
+    cp = _ceil_to(max(c + 1, 8), 8)
+    wp = _ceil_to(w, LANES)
+    hp = _ceil_to(h, block_rows)
+    vr = min(vr, hp)
+    pad_rows = _ceil_to(vr + 24, 8)
+    pad_cols = LANES
+
+    # fuse the weight-normalizer as an extra ones channel
+    vals = jnp.concatenate(
+        [img.astype(jnp.float32), jnp.ones((b, h, w, 1), jnp.float32)],
+        axis=-1)
+    vals = jnp.pad(vals, ((0, 0), (pad_rows, pad_rows + hp - h),
+                          (pad_cols, pad_cols + wp - w), (0, cp - c - 1)))
+    # pad targets with -1e6 so padded source pixels never hit any block
+    typ = jnp.pad(ty, ((0, 0), (pad_rows, pad_rows + hp - h),
+                       (pad_cols, pad_cols + wp - w)),
+                  constant_values=-1e6)
+    txp = jnp.pad(tx, ((0, 0), (pad_rows, pad_rows + hp - h),
+                       (pad_cols, pad_cols + wp - w)),
+                  constant_values=-1e6)
+
+    n_slabs = (2 * vr + 2 + block_rows) // 8 + 2
+    grid = (b, hp // block_rows, wp // LANES)
+
+    kernel = functools.partial(
+        _fwarp_mm_kernel, C=cp, n_slabs=n_slabs, pad_rows=pad_rows,
+        pad_cols=pad_cols, block_rows=block_rows, vr=vr)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, hp, wp, cp), jnp.float32),
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+        out_specs=pl.BlockSpec((1, block_rows, LANES, cp),
+                               lambda b_, r_, c_: (b_, r_, c_, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((8, 3 * LANES, cp), jnp.float32),
+            pltpu.VMEM((8, 3 * LANES), jnp.float32),
+            pltpu.VMEM((8, 3 * LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(typ, txp, vals)
+
+    out = out[:, :h, :w]
+    return (out[..., :c].astype(img.dtype),
+            out[..., c:c + 1].astype(img.dtype))

@@ -140,9 +140,13 @@ def fwarp(img: jnp.ndarray, flo: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]
     identical copies of the norm, DeMFInet.py:726-729 — one channel here).
 
     All four taps are fused into a single XLA scatter-add over C+1
-    channels (image channels + the weight normalizer).
+    channels (image channels + the weight normalizer). On TPU this
+    dispatches to the Pallas scatter kernel (ops/pallas_kernels.py).
     """
     b, h, w, c = img.shape
+    if _use_pallas() and h >= 16 and w >= 16:
+        from demfi_tpu.ops.pallas_kernels import fwarp_tpu
+        return fwarp_tpu(img, flo)
     dc = flo[..., 0]  # along W
     dr = flo[..., 1]  # along H
     c1 = jnp.floor(dc)

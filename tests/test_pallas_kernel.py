@@ -73,3 +73,41 @@ def test_window_clamp_degrades_to_zero():
             jnp.asarray(img), jnp.asarray(coords), relative=True,
             vr=24)[0])
     assert np.abs(got).max() == 0.0
+
+
+def test_fwarp_tpu_matches_reference_path():
+    from demfi_tpu.ops.pallas_kernels import fwarp_tpu
+    B, H, Wd, C = 1, 32, 128, 2
+    img = RNG.randn(B, H, Wd, C).astype(np.float32)
+    flo = (RNG.randn(B, H, Wd, 2) * 4).astype(np.float32)
+    want, want_n = W.fwarp(jnp.asarray(img), jnp.asarray(flo))
+    with pltpu.force_tpu_interpret_mode():
+        got, got_n = fwarp_tpu(jnp.asarray(img), jnp.asarray(flo), vr=24)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_n), np.asarray(want_n),
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_cfr_with_pallas_fwarp_matches():
+    """CFR composed on the pallas fwarp equals the XLA CFR."""
+    from demfi_tpu.ops.pallas_kernels import fwarp_tpu
+    import demfi_tpu.ops.warp as warp_mod
+    B, H, Wd = 1, 32, 128
+    f01 = (RNG.randn(B, H, Wd, 2) * 2).astype(np.float32)
+    f10 = -f01
+    t = np.array([0.625], np.float32)
+    want0, want1 = W.cfr_flow_t_align(jnp.asarray(f01), jnp.asarray(f10),
+                                      jnp.asarray(t))
+    orig = warp_mod.fwarp
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            warp_mod.fwarp = lambda img, flo: fwarp_tpu(img, flo, vr=24)
+            got0, got1 = W.cfr_flow_t_align(
+                jnp.asarray(f01), jnp.asarray(f10), jnp.asarray(t))
+    finally:
+        warp_mod.fwarp = orig
+    np.testing.assert_allclose(np.asarray(got0), np.asarray(want0),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got1), np.asarray(want1),
+                               atol=1e-4, rtol=1e-4)
