@@ -55,8 +55,9 @@ class ExperimentManager:
     def _ckpt_path(self, tag: str) -> str:
         return os.path.join(self.checkpoint_dir, f"{self.model_dir}_{tag}")
 
-    def save(self, tag: str, params: Any, opt_state: Any = None,
-             meta: Optional[Dict[str, Any]] = None) -> str:
+    def _save_sync(self, tag: str, params: Any, opt_state: Any = None,
+                   meta: Optional[Dict[str, Any]] = None,
+                   best_psnr_flag: bool = False) -> str:
         base = self._ckpt_path(tag)
         params = jax.device_get(params)
         _atomic_write(base + ".msgpack", flax.serialization.to_bytes(params))
@@ -67,18 +68,22 @@ class ExperimentManager:
         meta.setdefault("net_type", self.cfg.net_type)
         _atomic_write(base + ".json",
                       json.dumps(meta, default=float, indent=1).encode())
+        if best_psnr_flag:
+            for ext in (".msgpack", ".opt.msgpack", ".json"):
+                if os.path.exists(base + ext):
+                    shutil.copyfile(base + ext,
+                                    self._ckpt_path("best_PSNR") + ext)
         return base
+
+    def save(self, tag: str, params: Any, opt_state: Any = None,
+             meta: Optional[Dict[str, Any]] = None) -> str:
+        return self._save_sync(tag, params, opt_state, meta)
 
     def save_latest(self, params, opt_state=None, meta=None,
                     best_psnr_flag: bool = False) -> None:
         """Reference save_best_model semantics (utils.py:73-81): always
         write latest; copy to best_PSNR on improvement."""
-        base = self.save("latest", params, opt_state, meta)
-        if best_psnr_flag:
-            for ext in (".msgpack", ".opt.msgpack", ".json"):
-                src = base + ext
-                if os.path.exists(src):
-                    shutil.copyfile(src, self._ckpt_path("best_PSNR") + ext)
+        self._save_sync("latest", params, opt_state, meta, best_psnr_flag)
 
     def save_epoch(self, epoch: int, params, opt_state=None, meta=None) -> None:
         self.save(f"epc{epoch}", params, opt_state, meta)
@@ -119,3 +124,45 @@ class ExperimentManager:
     def has(self, tag: str) -> bool:
         base = self._ckpt_path(tag)
         return os.path.exists(base + ".msgpack") or os.path.exists(base + ".pt")
+
+
+class AsyncExperimentManager(ExperimentManager):
+    """ExperimentManager with non-blocking saves: serialization and disk
+    writes run on a background thread so the train loop never stalls on
+    checkpoint IO (the TPU-native answer to the reference's synchronous
+    torch.save at every epoch end, main.py:254-276)."""
+
+    def __init__(self, cfg: DeMFIConfig):
+        super().__init__(cfg)
+        import concurrent.futures
+        self._pool = concurrent.futures.ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="ckpt")
+        self._pending = None
+
+    def save(self, tag, params, opt_state=None, meta=None) -> str:
+        # snapshot to host synchronously (cheap), write asynchronously
+        params = jax.device_get(params)
+        opt_state = jax.device_get(opt_state) if opt_state is not None else None
+        self.wait()
+        self._pending = self._pool.submit(
+            self._save_sync, tag, params, opt_state, meta)
+        return self._ckpt_path(tag)
+
+    def save_latest(self, params, opt_state=None, meta=None,
+                    best_psnr_flag: bool = False) -> None:
+        params = jax.device_get(params)
+        opt_state = jax.device_get(opt_state) if opt_state is not None else None
+        self.wait()
+        self._pending = self._pool.submit(
+            self._save_sync, "latest", params, opt_state, meta,
+            best_psnr_flag)
+
+    def load(self, tag, params_template, opt_state_template=None):
+        self.wait()  # read-after-write consistency
+        return super().load(tag, params_template, opt_state_template)
+
+    def wait(self) -> None:
+        """Block until the in-flight save (if any) has committed."""
+        if self._pending is not None:
+            self._pending.result()
+            self._pending = None

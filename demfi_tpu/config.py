@@ -89,6 +89,9 @@ class DeMFIConfig:
     # Remat (checkpoint) the RDB backbone during training to trade FLOPs
     # for HBM.
     remat_backbone: bool = False
+    # Compute the tOF temporal-consistency metric during eval (paper
+    # metric; absent from the reference code).
+    compute_tOF: bool = False
     seed: int = 0
 
     @property

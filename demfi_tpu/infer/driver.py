@@ -112,6 +112,9 @@ def evaluate(cfg: DeMFIConfig, engine: InferenceEngine, multiple: int,
 
     prev_scene = None
     last_s1 = None  # (psnr_p, ssim_p, psnr_f, ssim_f) of trailing S1
+    tof_meter = AverageMeter("tOF:", ":.4e")
+    prev_pred_st = None
+    prev_gt_st = None
 
     def finalize_scene():
         """Scene rollover (main.py:633-720): trailing-S1 deblur update +
@@ -137,6 +140,7 @@ def evaluate(cfg: DeMFIConfig, engine: InferenceEngine, multiple: int,
             if prev_scene is not None:
                 finalize_scene()
             prev_scene = items[0].scene
+            prev_pred_st = prev_gt_st = None
 
         ts = np.asarray([it.t_value for it in items], np.float32)
         t0 = time.time()
@@ -159,6 +163,14 @@ def evaluate(cfg: DeMFIConfig, engine: InferenceEngine, multiple: int,
 
             losses.update(cfg.rec_D2_lambda
                           * rec(res.st_final[j], sts_gt[j]), 1)
+
+            if cfg.compute_tOF:
+                from demfi_tpu.metrics import tof_pair
+                if prev_pred_st is not None:
+                    tof_meter.update(tof_pair(prev_pred_st, res.st_final[j],
+                                              prev_gt_st, sts_gt[j]), 1)
+                prev_pred_st = res.st_final[j]
+                prev_gt_st = sts_gt[j]
 
             # interp slot: x8 -> slots 1..7; x2 -> slot 4 (main.py:890-1032)
             slot = (j + 1) if multiple == 8 else 4
@@ -223,6 +235,8 @@ def evaluate(cfg: DeMFIConfig, engine: InferenceEngine, multiple: int,
         ps = ProgressPrinter(n_windows, *total[k].ssim.values(),
                              prefix=f"[SSIM {stage} (7 intp, 1 dblr)] :")
         ps.print(n_windows)
+    if cfg.compute_tOF:
+        print(" tOF (temporal optical-flow consistency):", tof_meter.avg)
     print(" Average Inference Time per Window:", batch_time.avg)
     return (losses.avg, intp_psnr["final"].avg, intp_ssim["final"].avg,
             deblur_psnr["final"].avg, deblur_ssim["final"].avg, save_root)

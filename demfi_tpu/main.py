@@ -83,6 +83,7 @@ def parse_args(argv=None) -> DeMFIConfig:
                    choices=["float32", "bfloat16"])
     p.add_argument("--mesh_data", type=int, default=d.mesh_data)
     p.add_argument("--mesh_spatial", type=int, default=d.mesh_spatial)
+    p.add_argument("--compute_tOF", action="store_true")
     p.add_argument("--seed", type=int, default=d.seed)
     a = p.parse_args(argv)
 

@@ -85,3 +85,25 @@ def eval_pair_hwc(pred_hwc_bgr: np.ndarray, gt_hwc_bgr: np.ndarray):
 def to_png_uint8(img_hwc_bgr: np.ndarray) -> np.ndarray:
     """[-1,1] BGR float -> uint8 BGR for cv2.imwrite (main.py:863-866)."""
     return denorm255(img_hwc_bgr).astype(np.uint8)
+
+
+def tof_pair(pred_prev: np.ndarray, pred_cur: np.ndarray,
+             gt_prev: np.ndarray, gt_cur: np.ndarray) -> float:
+    """tOF: temporal optical-flow consistency (Table 2 reports it; the
+    reference code does not compute it, so this follows the TecoGAN
+    definition the paper cites: mean |OF(pred_prev, pred_cur) -
+    OF(gt_prev, gt_cur)|_1 with Farneback flow on grayscale [0,255]).
+
+    Inputs are [H,W,C] BGR in [-1,1].
+    """
+    def gray(x):
+        return cv2.cvtColor(denorm255(x).astype(np.uint8),
+                            cv2.COLOR_BGR2GRAY)
+
+    params = dict(pyr_scale=0.5, levels=3, winsize=15, iterations=3,
+                  poly_n=5, poly_sigma=1.2, flags=0)
+    f_pred = cv2.calcOpticalFlowFarneback(gray(pred_prev), gray(pred_cur),
+                                          None, **params)
+    f_gt = cv2.calcOpticalFlowFarneback(gray(gt_prev), gray(gt_cur),
+                                        None, **params)
+    return float(np.mean(np.abs(f_pred - f_gt)))

@@ -1,0 +1,52 @@
+"""Aux subsystems: profiling, async checkpointing, tOF."""
+import os
+import time
+
+import numpy as np
+import pytest
+
+from demfi_tpu.utils.profiling import StepTimer
+from demfi_tpu import metrics
+
+
+def test_step_timer(tmp_path):
+    t = StepTimer(str(tmp_path / "steps.jsonl"))
+    for i in range(3):
+        t.start()
+        time.sleep(0.01)
+        t.stop(step=i)
+    s = t.summary()
+    assert s["count"] == 3 and s["mean"] >= 0.01
+    assert os.path.exists(tmp_path / "steps.jsonl")
+
+
+def test_async_manager_roundtrip(tmp_path):
+    import jax, jax.numpy as jnp
+    from demfi_tpu.config import config_rb
+    from demfi_tpu.checkpoint.manager import AsyncExperimentManager
+
+    cfg = config_rb(1, 1, checkpoint_dir=str(tmp_path / "c"),
+                    text_dir=str(tmp_path / "t"),
+                    log_dir=str(tmp_path / "l"),
+                    test_img_dir=str(tmp_path / "i"))
+    em = AsyncExperimentManager(cfg)
+    params = {"params": {"w": jnp.arange(4.0)}}
+    em.save_latest(params, meta={"last_epoch": 3}, best_psnr_flag=True)
+    got, _, meta = em.load_latest(params)
+    np.testing.assert_array_equal(np.asarray(got["params"]["w"]),
+                                  np.arange(4.0))
+    assert meta["last_epoch"] == 3
+    # best copy happened after the async write committed
+    got2, _, _ = em.load_best_psnr(params)
+    np.testing.assert_array_equal(np.asarray(got2["params"]["w"]),
+                                  np.arange(4.0))
+
+
+def test_tof_zero_for_identical_sequences():
+    rng = np.random.RandomState(0)
+    a = rng.uniform(-1, 1, (48, 64, 3)).astype(np.float32)
+    b = np.roll(a, 3, axis=1)
+    assert metrics.tof_pair(a, b, a, b) == pytest.approx(0.0, abs=1e-6)
+    # different motion -> positive
+    c = np.roll(a, -3, axis=1)
+    assert metrics.tof_pair(a, b, a, c) > 0.01
