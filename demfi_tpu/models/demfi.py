@@ -381,11 +381,16 @@ class DeMFINet(nn.Module):
     fgac_rr: int = 0
     fgac_sr: int = 0
     use_stage2: bool = True
+    # rematerialize the RDB backbone in the backward pass (trades FLOPs
+    # for HBM during training)
+    remat: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.FF_RDB_Module = FFRDB(self.nf, self.scale_factor, dtype=self.dtype,
-                                   name="FF_RDB_Module")
+        ffrdb_cls = nn.remat(FFRDB) if self.remat else FFRDB
+        self.FF_RDB_Module = ffrdb_cls(self.nf, self.scale_factor,
+                                       dtype=self.dtype,
+                                       name="FF_RDB_Module")
         self.FAC_FB_Module = FACFB(self.nf, self.num_res_facfb,
                                    self.shared_fgac, self.fgac_rr,
                                    self.fgac_sr, dtype=self.dtype,
@@ -558,5 +563,6 @@ def make_model(cfg: DeMFIConfig) -> DeMFINet:
         fgac_rr=cfg.fgac_rr,
         fgac_sr=cfg.fgac_sr,
         use_stage2=max(cfg.N_trn, cfg.N_tst) > 0,
+        remat=cfg.remat_backbone,
         dtype=dtype,
     )

@@ -87,3 +87,27 @@ def test_train_step_on_mesh_matches_single_device(setup):
     a = jax.tree_util.tree_leaves(state1.params)[0]
     b = jax.tree_util.tree_leaves(state2.params)[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_remat_matches_no_remat():
+    """remat changes memory, not values or gradients."""
+    import dataclasses as dc
+    from demfi_tpu.config import config_rb
+    from demfi_tpu.models import make_model
+    cfg_a = config_rb(1, 1)
+    cfg_b = dc.replace(cfg_a, remat_backbone=True)
+    ma, mb = make_model(cfg_a), make_model(cfg_b)
+    frames = jnp.asarray(np.random.RandomState(0).uniform(
+        -1, 1, (1, 4, 32, 32, 3)), jnp.float32)
+    t = jnp.full((1, 1), 0.5)
+    pa = ma.init(jax.random.PRNGKey(3), frames, t, num_update=1)
+    oa = ma.apply(pa, frames, t, num_update=1)
+    ob = mb.apply(pa, frames, t, num_update=1)  # identical param tree
+    np.testing.assert_allclose(np.asarray(oa.st_final),
+                               np.asarray(ob.st_final), atol=1e-6)
+
+    ga = jax.grad(lambda p: jnp.sum(ma.apply(p, frames, t, 1).st_final))(pa)
+    gb = jax.grad(lambda p: jnp.sum(mb.apply(p, frames, t, 1).st_final))(pa)
+    la = jax.tree_util.tree_leaves(ga)[0]
+    lb = jax.tree_util.tree_leaves(gb)[0]
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=1e-6)
