@@ -20,6 +20,21 @@ def denorm255(x: np.ndarray) -> np.ndarray:
     return np.clip((x + 1.0) / 2.0, 0.0, 1.0) * 255.0
 
 
+def crop_8x8(img: np.ndarray):
+    """Reference API parity (utils.py:625-642): computes 32-multiple
+    center-crop offsets but returns the image *uncropped* — the reference
+    comments out the crop, so all published metrics are on full frames.
+    Returns (img, y_offset, x_offset)."""
+    ori_h, ori_w = img.shape[0], img.shape[1]
+    h = (ori_h // 32) * 32
+    w = (ori_w // 32) * 32
+    while h > ori_h - 16:
+        h -= 32
+    while w > ori_w - 16:
+        w -= 32
+    return img, (ori_h - h) // 2, (ori_w - w) // 2
+
+
 def psnr(img1: np.ndarray, img2: np.ndarray) -> float:
     """PSNR on [0,255] images (utils.py:652-660)."""
     a = img1.astype(np.float64)
