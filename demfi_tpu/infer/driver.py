@@ -77,6 +77,7 @@ def evaluate(cfg: DeMFIConfig, engine: InferenceEngine, multiple: int,
              test_type: Optional[str] = None, post_fix: str = "",
              save_images: bool = True, writer=None,
              test_patch: Tuple[int, int] = (1, 1),
+             window_batch: int = 1,
              ) -> Tuple[float, float, float, float, float, str]:
     """GT evaluation (reference ``test``). Returns (loss, intp_PSNR,
     intp_SSIM, deblur_PSNR, deblur_SSIM, save_path)."""
@@ -133,20 +134,44 @@ def evaluate(cfg: DeMFIConfig, engine: InferenceEngine, multiple: int,
             total[k].update_from(scene[k])
             scene[k].reset()
 
+    def iter_results():
+        """Yield (window_data, WindowResult), batching device calls over
+        ``window_batch`` same-shape windows when untiled."""
+        w = 0
+        while w < n_windows:
+            chunk = [_load_window(ds, w)]
+            if test_patch == (1, 1):
+                while (len(chunk) < window_batch
+                       and w + len(chunk) < n_windows):
+                    nxt = _load_window(ds, w + len(chunk))
+                    if nxt[0].shape != chunk[0][0].shape:
+                        break
+                    chunk.append(nxt)
+            t0 = time.time()
+            if test_patch == (1, 1) and len(chunk) > 1:
+                frames = np.stack([c[0] for c in chunk])
+                ts_b = np.asarray([[it.t_value for it in c[4]]
+                                   for c in chunk], np.float32)
+                results = engine.forward_windows(frames, ts_b)
+            else:
+                results = [engine.forward_window(
+                    c[0][None],
+                    np.asarray([it.t_value for it in c[4]], np.float32),
+                    test_patch=test_patch,
+                    patch_boundary=cfg.patch_boundary) for c in chunk]
+            batch_time.update((time.time() - t0) / len(chunk), len(chunk))
+            for c, r in zip(chunk, results):
+                yield c, r
+            w += len(chunk)
+
     fix_start = time.time()
-    for w in range(n_windows):
-        blur, s0_gt, s1_gt, sts_gt, items = _load_window(ds, w)
+    for w, ((blur, s0_gt, s1_gt, sts_gt, items), res) in enumerate(
+            iter_results()):
         if items[0].scene != prev_scene:
             if prev_scene is not None:
                 finalize_scene()
             prev_scene = items[0].scene
             prev_pred_st = prev_gt_st = None
-
-        ts = np.asarray([it.t_value for it in items], np.float32)
-        t0 = time.time()
-        res = engine.forward_window(blur[None], ts, test_patch=test_patch,
-                                    patch_boundary=cfg.patch_boundary)
-        batch_time.update(time.time() - t0)
 
         scene_dir = os.path.join(save_root, items[0].scene)
         if save_images:

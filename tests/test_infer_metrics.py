@@ -40,7 +40,7 @@ def test_tiled_matches_untiled_with_local_model(engine):
     """Pad/halo/trim/stitch must be exact: with a stub whose receptive
     field (13 px box blur) fits inside the 32 px halo, 2x2-tiled output
     equals the untiled output bit-for-bit."""
-    from demfi_tpu.models.demfi import DeMFIOutputs
+    from demfi_tpu.infer.engine import WindowResult
     _, _, eng = engine
 
     def stub_run(frames, ts):
@@ -54,12 +54,13 @@ def test_tiled_matches_untiled_with_local_model(engine):
         m = len(ts)
         f3 = np.broadcast_to(blur, (m,) + img.shape).astype(np.float32)
         f4 = np.concatenate([f3, f3[..., :1]], -1)
-        f1 = f3[..., :1]
-        return DeMFIOutputs(
+        f1 = np.ascontiguousarray(f3[..., :1])
+        return WindowResult(
             s0_prime=f3, s1_prime=f3, st_prime=f3,
-            s0_final=f3[None], s1_final=f3[None], st_final=f3[None],
-            flow_preds=np.stack([f4, f4]), occ0_preds=np.stack([f1, f1]),
-            ovlp_b0b1=f3, diff_maps=(f1, f1), blend_weights=(f1, f1))
+            s0_final=f3, s1_final=f3, st_final=f3,
+            flow_init=f4, flow_final=f4,
+            occ0_init=f1, occ0_final=f1, ovlp=f3,
+            blend_w0=f1, blend_w1=f1, diff_10=f1, diff_01=f1)
 
     eng2 = object.__new__(type(eng))
     eng2.__dict__.update(eng.__dict__)
@@ -123,3 +124,18 @@ def test_eval_pair_matches_reference_pipeline():
     got2 = metrics.eval_pair_hwc(np.transpose(pred, (1, 2, 0)),
                                  np.transpose(gt, (1, 2, 0)))
     np.testing.assert_allclose(got2, (got_psnr, got_ssim), rtol=1e-12)
+
+
+def test_forward_windows_matches_per_window(engine):
+    """Batched N-window inference must equal per-window calls."""
+    _, _, eng = engine
+    rng = np.random.RandomState(5)
+    frames = rng.uniform(-1, 1, (3, 4, 32, 32, 3)).astype(np.float32)
+    ts = np.tile(np.array([[0.25, 0.75]], np.float32), (3, 1))
+    batched = eng.forward_windows(frames, ts)
+    for i in range(3):
+        single = eng.forward_window(frames[i:i + 1], ts[i])
+        np.testing.assert_allclose(batched[i].st_final, single.st_final,
+                                   atol=5e-5)
+        np.testing.assert_allclose(batched[i].s0_prime, single.s0_prime,
+                                   atol=5e-5)
