@@ -107,7 +107,7 @@ def run_train(cfg: DeMFIConfig) -> None:
     import jax
     import jax.numpy as jnp
 
-    from demfi_tpu.checkpoint import ExperimentManager
+    from demfi_tpu.checkpoint.manager import AsyncExperimentManager
     from demfi_tpu.data import AdobeTrainDataset, TrainLoader
     from demfi_tpu.infer import InferenceEngine
     from demfi_tpu.infer.driver import evaluate
@@ -116,7 +116,7 @@ def run_train(cfg: DeMFIConfig) -> None:
     from demfi_tpu.train import create_train_state, make_train_step
     from demfi_tpu.utils.meters import AverageMeter, ProgressPrinter
 
-    em = ExperimentManager(cfg)
+    em = AsyncExperimentManager(cfg)
     model = make_model(cfg)
     state, tx = create_train_state(cfg, model, jax.random.PRNGKey(cfg.seed))
     mesh = make_mesh(cfg.mesh_data, cfg.mesh_spatial)
@@ -228,10 +228,10 @@ def _load_eval_params(cfg):
     import jax
     import jax.numpy as jnp
 
-    from demfi_tpu.checkpoint import ExperimentManager
+    from demfi_tpu.checkpoint.manager import AsyncExperimentManager
     from demfi_tpu.models import make_model
 
-    em = ExperimentManager(cfg)
+    em = AsyncExperimentManager(cfg)
     model = make_model(cfg)
     template = jax.eval_shape(
         lambda: model.init(jax.random.PRNGKey(0),
