@@ -1,0 +1,144 @@
+"""One-shot on-chip measurement suite for DeMFI-TPU.
+
+Methodology notes (this dev environment tunnels the TPU through a relay):
+  - block_until_ready returns early here, and full-array device_get drags
+    tens of MB through the tunnel — both poison naive timings. Every
+    measurement below jits the workload with an on-device scalar
+    reduction and times float() readbacks; the trivial-program latency
+    floor is reported and subtracted where meaningful.
+
+Usage: python scripts/measure_tpu.py [--res 352x640] [--out report.json]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--res", type=str, default="352x640")
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--out", type=str, default="")
+    ap.add_argument("--skip-pallas", action="store_true")
+    args = ap.parse_args()
+    h, w = (int(x) for x in args.res.split("x"))
+
+    import jax
+    import jax.numpy as jnp
+
+    report = {"res": f"{h}x{w}", "backend": jax.default_backend(),
+              "device": str(jax.devices()[0])}
+    rng = np.random.RandomState(0)
+
+    def scalar_time(fn, *a, n=args.iters, floor=0.0):
+        g = jax.jit(lambda *a: jnp.sum(jnp.asarray(
+            jax.tree_util.tree_leaves(fn(*a))[0], jnp.float32)))
+        float(g(*a))
+        t0 = time.time()
+        for _ in range(n):
+            float(g(*a))
+        return max((time.time() - t0) / n - floor, 0.0)
+
+    # 1. latency floor + tunnel bandwidth
+    x_small = jnp.ones((8, 128))
+    floor = scalar_time(lambda x: x + 1, x_small)
+    report["dispatch_floor_ms"] = floor * 1000
+
+    big = jnp.ones((4096, 4096))  # 64 MB
+    t0 = time.time()
+    for _ in range(3):
+        _ = np.asarray(jax.jit(lambda x: x * 2)(big))
+    bw = 64.0 / ((time.time() - t0) / 3)
+    report["tunnel_readback_MBps"] = bw
+
+    # MXU sanity: big matmul flops
+    a = jnp.ones((4096, 4096), jnp.bfloat16)
+    dt = scalar_time(lambda a: jnp.dot(a, a, preferred_element_type=jnp.float32),
+                     a, floor=floor)
+    report["bf16_4k_matmul_TFLOPs"] = 2 * 4096 ** 3 / dt / 1e12
+
+    # 2. warp ops: XLA vs pallas
+    import os
+    x64 = jnp.asarray(rng.randn(1, h, w, 64).astype(np.float32))
+    flo = jnp.asarray((rng.randn(1, h, w, 2) * 5).astype(np.float32))
+    x2 = jnp.asarray(rng.randn(1, h, w, 2).astype(np.float32))
+
+    os.environ["DEMFI_NO_PALLAS"] = "1"
+    import demfi_tpu.ops.warp as W
+    report["xla_bwarp64_ms"] = scalar_time(W.bwarp, x64, flo,
+                                           floor=floor) * 1000
+    report["xla_fwarp2_ms"] = scalar_time(W.fwarp, x2, flo,
+                                          floor=floor) * 1000
+    report["xla_abs64_ms"] = scalar_time(
+        W.bilinear_sample_abs, x64,
+        jnp.asarray((rng.randn(1, h, w, 2) * 8 + 4).astype(np.float32)),
+        floor=floor) * 1000
+    del os.environ["DEMFI_NO_PALLAS"]
+
+    if not args.skip_pallas:
+        from demfi_tpu.ops.pallas_kernels import (
+            bwarp_tpu, bilinear_sample_abs_tpu, fwarp_tpu)
+        # correctness vs XLA first
+        os.environ["DEMFI_NO_PALLAS"] = "1"
+        want = np.asarray(W.bwarp(x64, flo))
+        wantf, wantn = (np.asarray(v) for v in W.fwarp(x2, flo))
+        coords_abs = jnp.asarray((rng.randn(1, h, w, 2) * 8 + 4
+                                  ).astype(np.float32))
+        wanta = np.asarray(W.bilinear_sample_abs(x64, coords_abs))
+        del os.environ["DEMFI_NO_PALLAS"]
+        got = np.asarray(bwarp_tpu(x64, flo))
+        report["pallas_bwarp_maxerr"] = float(np.abs(got - want).max())
+        gotf, gotn = fwarp_tpu(x2, flo)
+        report["pallas_fwarp_maxerr"] = float(
+            np.abs(np.asarray(gotf) - wantf).max())
+        gota = np.asarray(bilinear_sample_abs_tpu(x64, coords_abs))
+        report["pallas_abs_maxerr"] = float(np.abs(gota - wanta).max())
+
+        report["pallas_bwarp64_ms"] = scalar_time(
+            bwarp_tpu, x64, flo, floor=floor) * 1000
+        report["pallas_fwarp2_ms"] = scalar_time(
+            fwarp_tpu, x2, flo, floor=floor) * 1000
+        report["pallas_abs64_ms"] = scalar_time(
+            bilinear_sample_abs_tpu, x64, coords_abs, floor=floor) * 1000
+
+    # 3. model stages (both dtypes)
+    from demfi_tpu.config import config_rb
+    from demfi_tpu.models import make_model
+
+    frames = jnp.asarray(rng.uniform(-1, 1, (1, 4, h, w, 3)).astype(np.float32))
+    ts7 = jnp.asarray(np.linspace(1 / 8, 7 / 8, 7, dtype=np.float32))
+    for dt_name in ("bfloat16", "float32"):
+        cfg = config_rb(5, 3, compute_dtype=dt_name)
+        model = make_model(cfg)
+        params = model.init(jax.random.PRNGKey(0), frames[:, :, :64, :64],
+                            jnp.zeros((1, 1)), num_update=1)
+        tag = "bf16" if dt_name == "bfloat16" else "f32"
+
+        report[f"extract_{tag}_ms"] = scalar_time(
+            lambda p, f: model.apply(p, f, method=model.extract),
+            params, frames, floor=floor) * 1000
+
+        def window(p, f, ts):
+            ctx = model.apply(p, f, method=model.extract)
+            ctx = jax.tree_util.tree_map(
+                lambda x: jnp.repeat(x, ts.shape[0], axis=0), ctx)
+            out = model.apply(p, ctx, ts[:, None], 3,
+                              method=model.synthesize)
+            return out.st_final
+
+        dtw = scalar_time(window, params, frames, ts7, floor=floor)
+        report[f"window_x8_{tag}_ms"] = dtw * 1000
+        report[f"fps_{tag}"] = 7.0 / dtw
+
+    print(json.dumps(report, indent=1))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()
