@@ -166,3 +166,60 @@ class AsyncExperimentManager(ExperimentManager):
         if self._pending is not None:
             self._pending.result()
             self._pending = None
+
+
+class OrbaxExperimentManager(ExperimentManager):
+    """Orbax-backed checkpoint storage (StandardCheckpointer with async
+    commit): the same latest/best_PSNR/epoch tags become orbax checkpoint
+    directories ``<model_dir>_<tag>.orbax``. Sharded arrays round-trip
+    natively, which matters once params/opt state are mesh-sharded."""
+
+    def __init__(self, cfg: DeMFIConfig):
+        super().__init__(cfg)
+        import orbax.checkpoint as ocp
+        self._ckptr = ocp.StandardCheckpointer()
+
+    def _orbax_dir(self, tag: str) -> str:
+        return os.path.abspath(self._ckpt_path(tag) + ".orbax")
+
+    def _save_sync(self, tag, params, opt_state=None, meta=None,
+                   best_psnr_flag=False) -> str:
+        tree = {"params": jax.device_get(params)}
+        if opt_state is not None:
+            tree["opt_state"] = jax.device_get(opt_state)
+        path = self._orbax_dir(tag)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        self._ckptr.save(path, tree)
+        meta = dict(meta or {})
+        meta.setdefault("net_type", self.cfg.net_type)
+        _atomic_write(self._ckpt_path(tag) + ".json",
+                      json.dumps(meta, default=float, indent=1).encode())
+        if best_psnr_flag:
+            self._ckptr.wait_until_finished()
+            best = self._orbax_dir("best_PSNR")
+            if os.path.exists(best):
+                shutil.rmtree(best)
+            shutil.copytree(path, best)
+            shutil.copyfile(self._ckpt_path(tag) + ".json",
+                            self._ckpt_path("best_PSNR") + ".json")
+        return path
+
+    def load(self, tag, params_template, opt_state_template=None):
+        path = self._orbax_dir(tag)
+        if not os.path.exists(path):
+            return super().load(tag, params_template, opt_state_template)
+        self._ckptr.wait_until_finished()
+        template = {"params": params_template}
+        if opt_state_template is not None:
+            template["opt_state"] = opt_state_template
+        tree = self._ckptr.restore(path, template)
+        meta = {}
+        jpath = self._ckpt_path(tag) + ".json"
+        if os.path.exists(jpath):
+            with open(jpath) as f:
+                meta = json.load(f)
+        return tree["params"], tree.get("opt_state"), meta
+
+    def wait(self) -> None:
+        self._ckptr.wait_until_finished()

@@ -50,3 +50,26 @@ def test_tof_zero_for_identical_sequences():
     # different motion -> positive
     c = np.roll(a, -3, axis=1)
     assert metrics.tof_pair(a, b, a, c) > 0.01
+
+
+def test_orbax_manager_roundtrip(tmp_path):
+    import jax, jax.numpy as jnp
+    from demfi_tpu.config import config_rb
+    from demfi_tpu.checkpoint.manager import OrbaxExperimentManager
+
+    cfg = config_rb(1, 1, checkpoint_dir=str(tmp_path / "c"),
+                    text_dir=str(tmp_path / "t"),
+                    log_dir=str(tmp_path / "l"),
+                    test_img_dir=str(tmp_path / "i"))
+    em = OrbaxExperimentManager(cfg)
+    params = {"params": {"w": jnp.arange(6.0), "b": jnp.ones((2, 3))}}
+    opt = {"mu": jnp.zeros(6)}
+    em.save_latest(params, opt, meta={"last_epoch": 9}, best_psnr_flag=True)
+    got, got_opt, meta = em.load_latest(params, opt)
+    np.testing.assert_array_equal(np.asarray(got["params"]["w"]),
+                                  np.arange(6.0))
+    np.testing.assert_array_equal(np.asarray(got_opt["mu"]), np.zeros(6))
+    assert meta["last_epoch"] == 9
+    got2, _, _ = em.load_best_psnr(params, opt)
+    np.testing.assert_array_equal(np.asarray(got2["params"]["b"]),
+                                  np.ones((2, 3)))
