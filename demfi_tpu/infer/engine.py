@@ -92,7 +92,12 @@ class InferenceEngine:
     """Compiled whole-window inference for a fixed model + parameters."""
 
     def __init__(self, model: DeMFINet, variables, num_update: int,
-                 t_chunk: Optional[int] = None):
+                 t_chunk: Optional[int] = None, mesh=None):
+        """mesh: optional jax.sharding.Mesh. The window batch is sharded
+        over its 'data' axis (each device evaluates different windows /
+        t-instants) and frame rows over its 'spatial' axis (XLA SPMD adds
+        conv halo exchanges) — the TPU replacement for the reference's
+        serial tile loop (utils.py:1389-1450)."""
         self.model = model
         self.variables = variables
         self.num_update = num_update
@@ -107,7 +112,20 @@ class InferenceEngine:
             return model.apply(variables, ctx, ts.reshape(n * m, 1),
                                num_update, method=model.synthesize)
 
-        self._forward = jax.jit(forward)
+        if mesh is None:
+            self._forward = jax.jit(forward)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            data = "data" if "data" in mesh.axis_names else None
+            spatial = ("spatial" if "spatial" in mesh.axis_names
+                       and mesh.shape.get("spatial", 1) > 1 else None)
+            self._forward = jax.jit(
+                forward,
+                in_shardings=(
+                    NamedSharding(mesh, P()),
+                    NamedSharding(mesh, P(data, None, spatial, None, None)),
+                    NamedSharding(mesh, P(data, None)),
+                ))
 
     # -------------------------------------------------------------- core
     def _run(self, frames: np.ndarray, ts: np.ndarray) -> List[WindowResult]:

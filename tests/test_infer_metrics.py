@@ -139,3 +139,21 @@ def test_forward_windows_matches_per_window(engine):
                                    atol=5e-5)
         np.testing.assert_allclose(batched[i].s0_prime, single.s0_prime,
                                    atol=5e-5)
+
+
+def test_mesh_sharded_engine_matches_unsharded(engine):
+    """DP over windows + H-spatial sharding must not change results."""
+    from jax.sharding import Mesh
+    model, params, eng = engine
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2),
+                ("data", "spatial"))
+    eng_m = InferenceEngine(model, params, num_update=2, mesh=mesh)
+    rng = np.random.RandomState(7)
+    frames = rng.uniform(-1, 1, (4, 4, 32, 32, 3)).astype(np.float32)
+    ts = np.tile(np.array([[0.25, 0.5]], np.float32), (4, 1))
+    a = eng.forward_windows(frames, ts)
+    b = eng_m.forward_windows(frames, ts)
+    for i in range(4):
+        np.testing.assert_allclose(b[i].st_final, a[i].st_final, atol=2e-3)
+        np.testing.assert_allclose(b[i].flow_final, a[i].flow_final,
+                                   atol=2e-3)
