@@ -89,6 +89,22 @@ class TrainLoader:
                 yield frames, ts
 
 
+def device_prefetch(iterator, mesh=None, depth: int = 2):
+    """Overlap host->device transfer with compute: keeps ``depth`` batches
+    in flight on device (sharded over the mesh's 'data' axis if given)."""
+    import collections
+
+    from demfi_tpu.parallel import shard_batch
+
+    buf = collections.deque()
+    for batch in iterator:
+        buf.append(shard_batch(mesh, batch))
+        if len(buf) >= depth:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
+
+
 def iter_eval(dataset: EvalDataset, prefetch: int = 2,
               num_threads: int = 2) -> Iterator[dict]:
     """Ordered prefetching iterator over an EvalDataset."""

@@ -175,8 +175,10 @@ def run_train(cfg: DeMFIConfig) -> None:
         print(f"Start epoch {epoch} at [{str(datetime.now())[:-7]}], "
               f"learning rate : [{cfg.lr_at_epoch(epoch)}]")
         t_last = time.time()
-        for it, (frames, ts) in enumerate(loader.epoch(epoch)):
-            state, m = step(state, jnp.asarray(frames), jnp.asarray(ts))
+        from demfi_tpu.data.pipeline import device_prefetch
+        for it, (frames, ts) in enumerate(
+                device_prefetch(loader.epoch(epoch), mesh)):
+            state, m = step(state, frames, ts)
             losses.update(float(m["total_loss"]), 1)
             d1m.update(float(m["rec_D1"]), 1)
             d2m.update(float(m["rec_D2"]), 1)

@@ -121,3 +121,16 @@ def test_iter_eval_order(dataset_root):
     seen = [item["st_name"] for item in iter_eval(ds)]
     want = [os.path.basename(it.st_path) for it in ds.items]
     assert seen == want
+
+
+def test_device_prefetch_preserves_order_and_values():
+    import jax
+    from jax.sharding import Mesh
+    from demfi_tpu.data.pipeline import device_prefetch
+    batches = [(np.full((4, 2), i, np.float32), np.full((4, 1), i, np.float32))
+               for i in range(5)]
+    mesh = Mesh(np.array(jax.devices()[:2]), ("data",))
+    out = list(device_prefetch(iter(batches), mesh))
+    assert len(out) == 5
+    for i, (f, t) in enumerate(out):
+        np.testing.assert_array_equal(np.asarray(f), batches[i][0])
