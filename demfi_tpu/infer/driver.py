@@ -10,6 +10,8 @@ per 4-frame window.
 from __future__ import annotations
 
 import os
+import queue
+import threading
 import time
 from typing import Dict, List, Optional, Tuple
 
@@ -22,6 +24,31 @@ from demfi_tpu.data.datasets import (CustomDataset, EvalDataset, _imread,
 from demfi_tpu.infer.engine import InferenceEngine
 from demfi_tpu.metrics import eval_pair_hwc, to_png_uint8
 from demfi_tpu.utils.meters import AverageMeter, ProgressPrinter
+
+
+def _lookahead(gen, depth: int = 2):
+    """Run a generator on a worker thread with a bounded queue so device
+    inference overlaps the host-side metrics/PNG work."""
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    err = []
+
+    def worker():
+        try:
+            for item in gen:
+                q.put(item)
+        except BaseException as e:  # surface worker errors to the consumer
+            err.append(e)
+        finally:
+            q.put(None)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is None:
+            if err:
+                raise err[0]
+            return
+        yield item
 
 
 def _rec_loss_np(loss_type: str):
@@ -166,7 +193,7 @@ def evaluate(cfg: DeMFIConfig, engine: InferenceEngine, multiple: int,
 
     fix_start = time.time()
     for w, ((blur, s0_gt, s1_gt, sts_gt, items), res) in enumerate(
-            iter_results()):
+            _lookahead(iter_results())):
         if items[0].scene != prev_scene:
             if prev_scene is not None:
                 finalize_scene()
