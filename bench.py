@@ -58,15 +58,17 @@ def main():
                         jnp.zeros((1, 1)), num_update=1)
     ts = jnp.asarray(np.linspace(1 / 8, 7 / 8, 7, dtype=np.float32))
 
-    if args.readback:
-        engine = InferenceEngine(model, params, num_update=args.n_tst)
-        engine.forward_window(np.asarray(frames), np.asarray(ts))
-        t0 = time.time()
-        for _ in range(args.iters):
+    import os
+
+    def run_once():
+        if args.readback:
+            engine = InferenceEngine(model, params, num_update=args.n_tst)
             engine.forward_window(np.asarray(frames), np.asarray(ts))
-        dt = (time.time() - t0) / args.iters
-        mode = "e2e+readback"
-    else:
+            t0 = time.time()
+            for _ in range(args.iters):
+                engine.forward_window(np.asarray(frames), np.asarray(ts))
+            return (time.time() - t0) / args.iters, "e2e+readback"
+
         def window(params, frames, ts):
             ctx = model.apply(params, frames, method=model.extract)
             ctx = jax.tree_util.tree_map(
@@ -91,7 +93,18 @@ def main():
         for _ in range(args.iters):
             float(fn(params, frames, ts))
         dt = max((time.time() - t0) / args.iters - floor, 1e-6)
-        mode = f"device (floor {floor*1000:.0f} ms subtracted)"
+        return dt, f"device (floor {floor*1000:.0f} ms subtracted)"
+
+    try:
+        dt, mode = run_once()
+        mode += ", pallas" if not os.environ.get("DEMFI_NO_PALLAS") else ""
+    except Exception as e:  # pallas compile failure -> exact XLA fallback
+        print(f"# pallas path failed ({type(e).__name__}); "
+              f"retrying with DEMFI_NO_PALLAS=1", flush=True)
+        os.environ["DEMFI_NO_PALLAS"] = "1"
+        jax.clear_caches()
+        dt, mode = run_once()
+        mode += ", xla-fallback"
 
     fps = 7.0 / dt
     baseline_fps = 1.0 / 0.61  # reference Rt at 640x352 (Table 2)
