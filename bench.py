@@ -95,9 +95,11 @@ def main():
         dt = max((time.time() - t0) / args.iters - floor, 1e-6)
         return dt, f"device (floor {floor*1000:.0f} ms subtracted)"
 
+    from demfi_tpu.ops.warp import _use_pallas
+
     try:
         dt, mode = run_once()
-        mode += ", pallas" if not os.environ.get("DEMFI_NO_PALLAS") else ""
+        mode += ", pallas" if _use_pallas() else ""
     except Exception as e:  # pallas compile failure -> exact XLA fallback
         print(f"# pallas path failed ({type(e).__name__}); "
               f"retrying with DEMFI_NO_PALLAS=1", flush=True)
