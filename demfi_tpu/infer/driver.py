@@ -328,4 +328,16 @@ def evaluate_custom(cfg: DeMFIConfig, engine: InferenceEngine,
                         to_png_uint8(res.st_final[j]))
             print(f"png for predicted St frame has been saved in "
                   f"[{os.path.join(out_dir, it.st_path)}]")
+
+            if cfg.visualization_flag:
+                from demfi_tpu.utils.viz import eval_visualization
+                viz_dir = out_dir + "_visualizations"
+                os.makedirs(viz_dir, exist_ok=True)
+                grid = eval_visualization(
+                    res.ovlp[j], res.st_prime[j], res.st_final[j], None,
+                    res.flow_init[j], res.flow_final[j],
+                    res.occ0_init[j], res.occ0_final[j],
+                    res.blend_w0[j], res.blend_w1[j],
+                    res.diff_10[j], res.diff_01[j])
+                cv2.imwrite(os.path.join(viz_dir, it.st_path), grid)
     print(" Average Inference Time per Window:", batch_time.avg)
