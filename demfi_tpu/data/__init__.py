@@ -1,4 +1,5 @@
 from demfi_tpu.data.datasets import (
+    get_test_data,
     AdobeTrainDataset,
     EvalDataset,
     CustomDataset,
@@ -15,6 +16,7 @@ __all__ = [
     "build_train_index",
     "build_eval_index",
     "build_custom_index",
+    "get_test_data",
     "TrainLoader",
     "iter_eval",
 ]

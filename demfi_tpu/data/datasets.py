@@ -35,9 +35,16 @@ def _imread(path: str) -> np.ndarray:
     return img
 
 
-def _normalize(frames_thwc_uint8: np.ndarray) -> np.ndarray:
-    """uint8 [T,H,W,C] -> float32 [-1,1] (utils.py:224-238)."""
-    return (frames_thwc_uint8.astype(np.float32) / 255.0 - 0.5) * 2.0
+def _normalize(frames_thwc_uint8: np.ndarray, channels: int = 3) -> np.ndarray:
+    """uint8 [T,H,W,C] -> float32 [-1,1] (utils.py:224-238). With
+    channels == 1 the reference's BT.601 Y-conversion is applied first
+    (utils.py:227-229)."""
+    f = frames_thwc_uint8.astype(np.float32)
+    if channels == 1:
+        f = (np.sum(f * np.reshape([65.481, 128.553, 24.966],
+                                   [1, 1, 1, 3]) / 255.0,
+                    axis=-1, keepdims=True) + 16.0)
+    return (f / 255.0 - 0.5) * 2.0
 
 
 # ===================================================================== train
@@ -256,6 +263,17 @@ def build_custom_index(custom_path: str, multiple: int) -> List[EvalItem]:
                     t_value=float(t_grid[mul]),
                     scene=scene))
     return items
+
+
+def get_test_data(cfg, multiple: int, center_flag: bool = False,
+                  test_type: Optional[str] = None):
+    """Reference get_test_data dispatcher (utils.py:365-376): Custom_Test
+    for the test_custom phase, diverse_Test otherwise."""
+    if cfg.phase == "test_custom":
+        return CustomDataset(cfg.custom_path, multiple)
+    return EvalDataset(cfg.test_data_path, multiple, cfg.t_step_size,
+                       center_patch=cfg.patch_size if center_flag else None,
+                       test_type=test_type)
 
 
 class CustomDataset:

@@ -134,3 +134,31 @@ def test_device_prefetch_preserves_order_and_values():
     assert len(out) == 5
     for i, (f, t) in enumerate(out):
         np.testing.assert_array_equal(np.asarray(f), batches[i][0])
+
+
+def test_y_channel_normalization():
+    from demfi_tpu.data.datasets import _normalize
+    x = np.full((1, 2, 2, 3), 128, np.uint8)
+    y = _normalize(x, channels=1)
+    # BT.601: Y = sum(128*coef/255) + 16, then [-1,1]
+    want = (np.sum(128 * np.array([65.481, 128.553, 24.966]) / 255.0)
+            + 16.0) / 255.0
+    want = (want - 0.5) * 2
+    np.testing.assert_allclose(y, np.full((1, 2, 2, 1), want), rtol=1e-5)
+
+
+def test_get_test_data_dispatch(dataset_root, tmp_path):
+    import dataclasses
+    from demfi_tpu.config import config_rb
+    from demfi_tpu.data import get_test_data, EvalDataset, CustomDataset
+    cfg = config_rb(1, 1, test_data_path=dataset_root, phase="test")
+    ds = get_test_data(cfg, multiple=2, center_flag=True)
+    assert isinstance(ds, EvalDataset) and ds.center_patch == cfg.patch_size
+    scene = tmp_path / "sc"
+    scene.mkdir()
+    for i in range(5):
+        cv2.imwrite(str(scene / f"{i:05d}.png"),
+                    np.zeros((16, 16, 3), np.uint8))
+    cfg2 = dataclasses.replace(cfg, phase="test_custom",
+                               custom_path=str(tmp_path))
+    assert isinstance(get_test_data(cfg2, multiple=4), CustomDataset)
