@@ -101,3 +101,23 @@ def test_graft_entry_single():
 def test_graft_dryrun_multichip():
     import __graft_entry__ as g
     g.dryrun_multichip(8)
+
+
+def test_bs_variant_eval(small_setup):
+    """DeMFI-Net_bs (no Stage II): Stage II outputs fall back to Stage I."""
+    from demfi_tpu.config import config_bs
+    import dataclasses
+    cfg, _, root = small_setup
+    cfg_bs = config_bs(test_data_path=cfg.test_data_path,
+                       test_img_dir=cfg.test_img_dir,
+                       text_dir=cfg.text_dir,
+                       checkpoint_dir=cfg.checkpoint_dir,
+                       log_dir=cfg.log_dir)
+    model = make_model(cfg_bs)
+    params = model.init(jax.random.PRNGKey(1),
+                        jnp.zeros((1, 4, 48, 64, 3)), jnp.zeros((1, 1)),
+                        num_update=0)
+    eng = InferenceEngine(model, params, num_update=0)
+    out = evaluate(cfg_bs, eng, multiple=2, epoch=0, post_fix="_bs",
+                   save_images=False)
+    assert np.isfinite(out[:5]).all()
