@@ -181,7 +181,7 @@ def bilinear_gather_tpu(img: jnp.ndarray, coords: jnp.ndarray, *,
             pl.BlockSpec((1, block_rows, LANES),
                          lambda b_, r_, c_: (b_, r_, c_),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, block_rows, LANES, cp),
                                lambda b_, r_, c_: (b_, r_, c_, 0),
@@ -370,7 +370,7 @@ def fwarp_tpu(img: jnp.ndarray, flo: jnp.ndarray, *, vr: int = 64,
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, hp, wp, cp), jnp.float32),
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * 3,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
         out_specs=pl.BlockSpec((1, block_rows, LANES, cp),
                                lambda b_, r_, c_: (b_, r_, c_, 0),
                                memory_space=pltpu.VMEM),

@@ -111,3 +111,52 @@ def test_cfr_with_pallas_fwarp_matches():
                                atol=1e-4, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(got1), np.asarray(want1),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_mm_gather_batch_and_multitile():
+    """B=2, C=16, W=384 (3 column tiles), flows near the vr boundary."""
+    B, H, Wd, C = 2, 32, 384, 16
+    img = RNG.randn(B, H, Wd, C).astype(np.float32)
+    gx, gy = np.meshgrid(np.arange(Wd), np.arange(H))
+    base = np.stack([gx, gy], -1)[None].astype(np.float32)
+    flows = RNG.uniform(-20, 20, (B, H, Wd, 2)).astype(np.float32)
+    coords = base + flows
+    want, want_ones = xla_gather(img, coords)
+    with pltpu.force_tpu_interpret_mode():
+        got, ones = bilinear_gather_tpu(jnp.asarray(img),
+                                        jnp.asarray(coords),
+                                        relative=True, vr=24)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(ones), want_ones, atol=1e-5)
+
+
+def test_mm_gather_horizontal_beyond_128_is_zero():
+    """|dx| > 128 leaves the 3-tile window -> zero (documented)."""
+    B, H, Wd, C = 1, 16, 256, 8
+    img = RNG.randn(B, H, Wd, C).astype(np.float32)
+    gx, gy = np.meshgrid(np.arange(Wd), np.arange(H))
+    coords = np.stack([gx, gy], -1)[None].astype(np.float32)
+    coords[..., 0] += 200.0
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(bilinear_gather_tpu(
+            jnp.asarray(img), jnp.asarray(coords), relative=True, vr=16)[0])
+    # each 128-col output tile reads source cols [tile-128, tile+256):
+    # tile-0 cols 0..55 read x=200..255 (in-window -> true values);
+    # cols 57..127 read x >= 257 (beyond window -> zero)
+    want, _ = xla_gather(img, coords)
+    np.testing.assert_allclose(got[:, :, :55], want[:, :, :55], atol=1e-5)
+    assert np.abs(got[:, :, 57:128]).max() == 0.0
+
+
+def test_fwarp_tpu_batch2():
+    from demfi_tpu.ops.pallas_kernels import fwarp_tpu
+    B, H, Wd, C = 2, 32, 256, 2
+    img = RNG.randn(B, H, Wd, C).astype(np.float32)
+    flo = (RNG.randn(B, H, Wd, 2) * 6).astype(np.float32)
+    want, want_n = W.fwarp(jnp.asarray(img), jnp.asarray(flo))
+    with pltpu.force_tpu_interpret_mode():
+        got, got_n = fwarp_tpu(jnp.asarray(img), jnp.asarray(flo), vr=24)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_n), np.asarray(want_n),
+                               atol=1e-4, rtol=1e-4)
