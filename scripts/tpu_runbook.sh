@@ -1,0 +1,36 @@
+#!/bin/bash
+# Unattended on-chip validation + benchmark sequence. Run when the TPU
+# relay is healthy:   bash scripts/tpu_runbook.sh [outdir]
+# Produces: <outdir>/measure.json, bench_*.json, runbook.log
+set -uo pipefail
+OUT=${1:-tpu_reports}
+mkdir -p "$OUT"
+LOG="$OUT/runbook.log"
+exec > >(tee -a "$LOG") 2>&1
+
+echo "=== TPU runbook $(date -u +%FT%TZ) ==="
+
+echo "--- health check"
+timeout 90 python -c "
+import time, numpy as np, jax, jax.numpy as jnp
+t0=time.time(); y=jax.jit(lambda a:a+1)(jnp.ones((8,8)))
+print('TPU alive:', float(np.asarray(y).sum()), f'{time.time()-t0:.1f}s')
+print(jax.devices())" || { echo "TPU unhealthy; aborting"; exit 1; }
+
+echo "--- measurement suite (352x640)"
+timeout 3000 python scripts/measure_tpu.py --res 352x640 \
+    --out "$OUT/measure.json" || echo "measure failed (continuing)"
+
+echo "--- bench bf16 352x640"
+timeout 2400 python bench.py --res 352x640 --dtype bfloat16 \
+    | tee "$OUT/bench_352x640_bf16.json" || true
+
+echo "--- bench f32 352x640"
+timeout 2400 python bench.py --res 352x640 --dtype float32 \
+    | tee "$OUT/bench_352x640_f32.json" || true
+
+echo "--- bench bf16 720p"
+timeout 3000 python bench.py --res 720x1280 --dtype bfloat16 \
+    | tee "$OUT/bench_720p_bf16.json" || true
+
+echo "=== runbook done $(date -u +%FT%TZ) ==="
