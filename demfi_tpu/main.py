@@ -125,6 +125,7 @@ def run_train(cfg: DeMFIConfig) -> None:
 
     start_epoch = 0
     best_psnr = 0.0
+    results = (0.0,) * 5 + ("",)
     if cfg.fine_tuning:
         if cfg.fine_tuning_epoch_point:
             state_params, opt_state, meta = em.load_epoch(
@@ -137,6 +138,13 @@ def run_train(cfg: DeMFIConfig) -> None:
             opt_state=opt_state if opt_state is not None else state.opt_state)
         start_epoch = int(meta.get("last_epoch", -1)) + 1
         best_psnr = float(meta.get("best_PSNR", 0.0))
+        # carry the loaded metrics until the next validation pass
+        # (reference restores them from the checkpoint, main.py:204-208)
+        results = (float(meta.get("testLoss", 0.0)),
+                   float(meta.get("intp_testPSNR", 0.0)),
+                   float(meta.get("intp_testSSIM", 0.0)),
+                   float(meta.get("deblur_testPSNR", 0.0)),
+                   float(meta.get("deblur_testSSIM", 0.0)), "")
 
     ds = AdobeTrainDataset(cfg.train_data_path, cfg.t_step_size,
                            cfg.patch_size, cfg.need_patch)
@@ -162,7 +170,6 @@ def run_train(cfg: DeMFIConfig) -> None:
                   "\tbest_PSNR\n")
     print("[*] Training starts")
 
-    results = (0.0,) * 5 + ("",)
     for epoch in range(start_epoch, cfg.epochs):
         state = dataclasses.replace(state,
                                     epoch=jnp.asarray(epoch, jnp.int32))
