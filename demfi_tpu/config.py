@@ -86,6 +86,9 @@ class DeMFIConfig:
     # Batch all M-1 t-values of a window in a single device batch during
     # eval (the reference re-runs the whole network per t, main.py:733-748).
     t_batched_eval: bool = True
+    # Additionally batch this many same-shape windows per device call
+    # during untiled eval.
+    eval_window_batch: int = 1
     # Remat (checkpoint) the RDB backbone during training to trade FLOPs
     # for HBM.
     remat_backbone: bool = False

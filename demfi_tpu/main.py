@@ -84,6 +84,7 @@ def parse_args(argv=None) -> DeMFIConfig:
     p.add_argument("--mesh_data", type=int, default=d.mesh_data)
     p.add_argument("--mesh_spatial", type=int, default=d.mesh_spatial)
     p.add_argument("--compute_tOF", action="store_true")
+    p.add_argument("--eval_window_batch", type=int, default=d.eval_window_batch)
     p.add_argument("--seed", type=int, default=d.seed)
     a = p.parse_args(argv)
 
@@ -207,7 +208,8 @@ def run_train(cfg: DeMFIConfig) -> None:
                                center_patch=cfg.patch_size,
                                test_type="valid_5_per_scene",
                                post_fix="_x2_valid_5_intervals",
-                               writer=writer)
+                               writer=writer,
+                               window_batch=cfg.eval_window_batch)
         test_loss, intp_p, intp_s, dblr_p, dblr_s, save_path = results
         score = (intp_p + dblr_p) / 2
         best_flag = score > best_psnr
@@ -230,7 +232,8 @@ def run_train(cfg: DeMFIConfig) -> None:
     evaluate(cfg, engine, multiple=cfg.multiple_MFI, epoch=cfg.epochs - 1,
              post_fix=f"_final_x{cfg.multiple_MFI}_full_resolution"
                       f"_Ntst{cfg.N_tst}",
-             test_patch=cfg.test_patch, writer=writer)
+             test_patch=cfg.test_patch, writer=writer,
+             window_batch=cfg.eval_window_batch)
 
 
 def _load_eval_params(cfg):
@@ -269,7 +272,8 @@ def run_test(cfg: DeMFIConfig) -> None:
     evaluate(cfg, engine, multiple=cfg.multiple_MFI,
              epoch=cfg.epochs - 1, test_patch=cfg.test_patch,
              post_fix=f"_final_x{cfg.multiple_MFI}_full_resolution"
-                      f"_Ntst{cfg.N_tst}")
+                      f"_Ntst{cfg.N_tst}",
+             window_batch=cfg.eval_window_batch)
 
 
 def run_test_custom(cfg: DeMFIConfig) -> None:
