@@ -17,7 +17,6 @@ from typing import Any, Dict, Optional, Tuple
 
 import flax.serialization
 import jax
-import numpy as np
 
 from demfi_tpu.config import DeMFIConfig
 from demfi_tpu.checkpoint.convert import load_pt_checkpoint

@@ -13,7 +13,7 @@ import os
 import queue
 import threading
 import time
-from typing import Dict, List, Optional, Tuple
+from typing import Optional, Tuple
 
 import cv2
 import numpy as np

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from demfi_tpu.models.demfi import DeMFINet, DeMFIOutputs
+from demfi_tpu.models.demfi import DeMFINet
 
 
 @dataclasses.dataclass

@@ -17,7 +17,6 @@ params there is nothing to shard.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import flax.struct

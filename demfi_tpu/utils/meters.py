@@ -5,8 +5,6 @@ Equivalent of the reference's AverageClass / ProgressMeter
 """
 from __future__ import annotations
 
-from typing import Iterable
-
 
 class AverageMeter:
     def __init__(self, name: str, fmt: str = ":f"):
