@@ -167,7 +167,10 @@ def evaluate(cfg: DeMFIConfig, engine: InferenceEngine, multiple: int,
         w = 0
         while w < n_windows:
             chunk = [_load_window(ds, w)]
-            if test_patch == (1, 1):
+            h_, w_ = chunk[0][0].shape[1:3]
+            # the batched path skips the reflect-pad step, so it requires
+            # 32-multiple frames (forward_window pads otherwise)
+            if test_patch == (1, 1) and h_ % 32 == 0 and w_ % 32 == 0:
                 while (len(chunk) < window_batch
                        and w + len(chunk) < n_windows):
                     nxt = _load_window(ds, w + len(chunk))

@@ -121,3 +121,14 @@ def test_bs_variant_eval(small_setup):
     out = evaluate(cfg_bs, eng, multiple=2, epoch=0, post_fix="_bs",
                    save_images=False)
     assert np.isfinite(out[:5]).all()
+
+
+def test_window_batch_nonmultiple_fallback(small_setup):
+    """window_batch on non-32-multiple frames (48x64) falls back to the
+    padded single-window path and matches the unbatched run."""
+    cfg, engine, root = small_setup
+    a = evaluate(cfg, engine, multiple=2, epoch=2, post_fix="_wb1",
+                 save_images=False, window_batch=1)
+    b = evaluate(cfg, engine, multiple=2, epoch=2, post_fix="_wb4",
+                 save_images=False, window_batch=4)
+    np.testing.assert_allclose(a[:5], b[:5], rtol=1e-6)
