@@ -102,9 +102,16 @@ class DeMFIConfig:
         return f"{self.net_type}_exp{self.exp_num}"
 
     def lr_at_epoch(self, epoch: int) -> float:
-        """MultiStepLR semantics (main.py:186): lr halves at each milestone."""
+        """Epoch-indexed schedule. stair_decay = MultiStepLR semantics
+        (main.py:186): lr halves at each milestone. linear_decay ramps to
+        zero from lr_dec_start (utils.py:736-738)."""
         if self.lr_type == "no_decay":
             return self.init_lr
+        if self.lr_type == "linear_decay":
+            if epoch < self.lr_dec_start:
+                return self.init_lr
+            return self.init_lr * (self.epochs - epoch) / max(
+                self.epochs - self.lr_dec_start, 1)
         n = sum(1 for m in self.lr_milestones if m <= epoch)
         return self.init_lr * (self.lr_dec_fac ** n)
 

@@ -163,8 +163,16 @@ def build_eval_index(test_data_path: str, multiple: int,
     """Sliding eval windows with GT (utils.py:421-469): skip each scene's
     first and last-two blur frames; per window emit multiple-1 samples with
     t = linspace(1/M, 1-1/M); sharp GT name = blur_idx + (K/M)*(mul+1)."""
-    sharp_dir = os.path.join(test_data_path, "test")
-    blur_dir = os.path.join(test_data_path, "test_blur")
+    if "BlurLFR" in test_data_path:
+        # alternate layout (utils.py:422-427): blur dir given directly,
+        # sharp GT in a sibling *_test_GT_zfill{5,6} directory
+        zf6 = "Gopro" in test_data_path or "GoPro" in test_data_path
+        sharp_dir = test_data_path[:-3] + ("_test_GT_zfill6" if zf6
+                                           else "_test_GT_zfill5")
+        blur_dir = test_data_path
+    else:
+        sharp_dir = os.path.join(test_data_path, "test")
+        blur_dir = os.path.join(test_data_path, "test_blur")
     zf = _zfill_for(test_data_path)
     t_grid = np.linspace(1 / multiple, 1 - 1 / multiple, multiple - 1)
 

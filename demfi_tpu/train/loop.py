@@ -95,6 +95,14 @@ def make_train_step(cfg: DeMFIConfig, model: DeMFINet,
     milestones = jnp.asarray(list(cfg.lr_milestones), jnp.int32)
 
     def lr_for_epoch(epoch):
+        if cfg.lr_type == "no_decay":
+            return jnp.float32(cfg.init_lr)
+        if cfg.lr_type == "linear_decay":
+            e = epoch.astype(jnp.float32)
+            ramp = cfg.init_lr * (cfg.epochs - e) / max(
+                cfg.epochs - cfg.lr_dec_start, 1)
+            return jnp.where(e < cfg.lr_dec_start,
+                             jnp.float32(cfg.init_lr), ramp)
         n = jnp.sum((milestones <= epoch).astype(jnp.float32))
         return cfg.init_lr * (cfg.lr_dec_fac ** n)
 

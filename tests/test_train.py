@@ -111,3 +111,14 @@ def test_remat_matches_no_remat():
     la = jax.tree_util.tree_leaves(ga)[0]
     lb = jax.tree_util.tree_leaves(gb)[0]
     np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=1e-6)
+
+
+def test_lr_types():
+    import dataclasses as dc
+    base = DeMFIConfig(epochs=100, lr_dec_start=50)
+    lin = dc.replace(base, lr_type="linear_decay")
+    assert lin.lr_at_epoch(0) == 1e-4
+    assert lin.lr_at_epoch(49) == 1e-4
+    assert lin.lr_at_epoch(75) == pytest.approx(5e-5)
+    none = dc.replace(base, lr_type="no_decay")
+    assert none.lr_at_epoch(9999) == 1e-4
