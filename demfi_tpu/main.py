@@ -167,6 +167,23 @@ def run_train(cfg: DeMFIConfig) -> None:
         sheet = train_debug_sheet(frames, ts, out)
         cv2.imwrite(os.path.join(
             path, f"trainIdx_{str(it).zfill(5)}_Bx20.png"), sheet)
+        # individual sample frames (reference main.py:470-502)
+        from demfi_tpu.metrics import to_png_uint8
+        tag = f"trainIdx_{str(it).zfill(5)}"
+        t0v = float(np.asarray(ts)[0, 0])
+        has_final = out.s0_final.shape[0] > 0
+        s0 = out.s0_final[-1][0] if has_final else out.s0_prime[0]
+        s1 = out.s1_final[-1][0] if has_final else out.s1_prime[0]
+        st = out.st_final[-1][0] if has_final else out.st_prime[0]
+        for name, img in ((f"{tag}_Ovld", np.asarray(out.ovlp_b0b1[0])),
+                          (f"{tag}_S0_Prd", np.asarray(s0)),
+                          (f"{tag}_t_{t0v}_Prd", np.asarray(st)),
+                          (f"{tag}_S1_Prd", np.asarray(s1)),
+                          (f"{tag}_S0_GT", frames[0, 5]),
+                          (f"{tag}_t_{t0v}_GT", frames[0, 4]),
+                          (f"{tag}_S1_GT", frames[0, 6])):
+            cv2.imwrite(os.path.join(path, name + ".png"),
+                        to_png_uint8(np.asarray(img)))
     em.write_info("Epoch\tintp_testPSNR\tdeblur_testPSNR\tavg_testPSNR"
                   "\tbest_PSNR\n")
     print("[*] Training starts")
