@@ -98,28 +98,40 @@ def _warp_mm_kernel(py_ref, px_ref, img_ref, out_ref, slab, sem, *,
                 slab, sem)
             dma.start()
             dma.wait()
-            for o in range(8):
-                src_row = slab_lo + o
-                hit0 = y0 == src_row
-                hit1 = y0 + 1 == src_row
+            # process source rows in pairs: one [*, 2C] matmul serves two
+            # rows (full MXU width at C=64)
+            for o in range(0, 8, 2):
+                rows = (slab_lo + o, slab_lo + o + 1)
+                wrows = []
+                used = None
+                for sr in rows:
+                    h0 = y0 == sr
+                    h1 = y0 + 1 == sr
+                    wrows.append(jnp.where(h0, 1.0 - fy, 0.0)
+                                 + jnp.where(h1, fy, 0.0))
+                    u = h0 | h1
+                    used = u if used is None else (used | u)
 
-                @pl.when(jnp.any(hit0 | hit1))
+                @pl.when(jnp.any(used))
                 def _():
-                    wrow = (jnp.where(hit0, 1.0 - fy, 0.0)
-                            + jnp.where(hit1, fy, 0.0))
                     for s in range(3):
                         # does any pixel read from this source tile?
                         near = (x0 >= cw + s * LANES - 1) & \
                                (x0 < cw + (s + 1) * LANES)
-                        @pl.when(jnp.any((hit0 | hit1) & near))
+                        @pl.when(jnp.any(used & near))
                         def _():
-                            rowmat = slab[o, s * LANES:(s + 1) * LANES, :]
+                            pair = jnp.concatenate(
+                                [slab[o, s * LANES:(s + 1) * LANES, :],
+                                 slab[o + 1, s * LANES:(s + 1) * LANES, :]],
+                                axis=-1)
                             g = jnp.dot(a_mats[s],
-                                        rowmat.astype(acc_dtype),
+                                        pair.astype(acc_dtype),
                                         preferred_element_type=acc_dtype)
-                            g = g.reshape(block_rows, LANES, C)
-                            out_ref[0] += (g * wrow[:, :, None]
-                                           ).astype(out_ref.dtype)
+                            g = g.reshape(block_rows, LANES, 2 * C)
+                            out_ref[0] += (
+                                g[..., :C] * wrows[0][:, :, None]
+                                + g[..., C:] * wrows[1][:, :, None]
+                            ).astype(out_ref.dtype)
 
     jax.lax.fori_loop(0, n_slabs, slab_body, None)
 
