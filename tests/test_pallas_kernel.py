@@ -160,3 +160,36 @@ def test_fwarp_tpu_batch2():
                                atol=1e-4, rtol=1e-4)
     np.testing.assert_allclose(np.asarray(got_n), np.asarray(want_n),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_full_model_through_pallas_dispatch():
+    """Run the whole DeMFI forward with the pallas warp dispatch forced on
+    (interpreter mode) and compare against the exact XLA path — derisks
+    the integration the TPU bench executes."""
+    import demfi_tpu.ops.warp as warp_mod
+    from demfi_tpu.config import config_rb
+    from demfi_tpu.models import make_model
+
+    cfg = config_rb(1, 1)
+    model = make_model(cfg)
+    rng = np.random.RandomState(3)
+    frames = jnp.asarray(rng.uniform(-1, 1, (1, 4, 32, 128, 3)),
+                         jnp.float32)
+    t = jnp.array([[0.375]], jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), frames, t, num_update=1)
+    want = model.apply(params, frames, t, num_update=1)
+
+    orig = warp_mod._use_pallas
+    try:
+        warp_mod._use_pallas = lambda: True
+        with pltpu.force_tpu_interpret_mode():
+            got = model.apply(params, frames, t, num_update=1)
+    finally:
+        warp_mod._use_pallas = orig
+
+    np.testing.assert_allclose(np.asarray(got.st_prime),
+                               np.asarray(want.st_prime),
+                               atol=5e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(got.st_final),
+                               np.asarray(want.st_final),
+                               atol=5e-4, rtol=1e-3)
