@@ -138,3 +138,64 @@ def test_converted_tree_matches_model_init(torch_reference):
     got = jax.tree_util.tree_map(lambda x: x.shape, variables)
     want = jax.tree_util.tree_map(lambda x: x.shape, init)
     assert got == want
+
+
+def test_gradient_parity_vs_torch(torch_reference):
+    """Losses and gradients through the full net (incl. warping-op
+    backward paths) must match torch autograd after conversion."""
+    import torch
+    import numpy.linalg as la
+    from demfi_tpu.checkpoint.convert import torch_key_to_flax_path
+    from demfi_tpu.train import demfi_loss
+
+    tm = torch_reference
+    tm.train()
+    tm.zero_grad()
+    rng = np.random.RandomState(0)
+    frames_nchw = rng.uniform(-1, 1, (1, 3, 4, 32, 48)).astype(np.float32)
+    gts = [rng.uniform(-1, 1, (1, 3, 32, 48)).astype(np.float32)
+           for _ in range(3)]
+    tval = np.array([[0.375]], np.float32)
+    n = 2
+
+    sp, sf, *_ = tm(torch.from_numpy(frames_nchw), torch.from_numpy(tval),
+                    n, is_training=True)
+    l1 = torch.nn.L1Loss()
+    tg = [torch.from_numpy(x) for x in gts]
+    d1 = (l1(tg[0], sp[0]) + l1(tg[1], sp[1]) + l1(tg[2], sp[2])) / 3
+    d2 = sum((l1(tg[0], sf[i][0]) + l1(tg[1], sf[i][1])
+              + l1(tg[2], sf[i][2])) / 3 for i in range(n))
+    loss_t = d1 + d2
+    loss_t.backward()
+    tgrads = {k: v.grad.detach().numpy()
+              for k, v in tm.named_parameters() if v.grad is not None}
+
+    variables = convert_torch_state_dict(tm.state_dict())
+    cfg = config_rb(n, n)
+    model = make_model(cfg)
+    frames = jnp.asarray(np.transpose(frames_nchw, (0, 2, 3, 4, 1)))
+    jgts = [jnp.asarray(np.transpose(x, (0, 2, 3, 1))) for x in gts]
+
+    def loss_fn(params):
+        out = model.apply(params, frames, jnp.asarray(tval), num_update=n)
+        return demfi_loss(cfg, out, jgts[0], jgts[1], jgts[2])[0]
+
+    lj, grads = jax.value_and_grad(loss_fn)(variables)
+    np.testing.assert_allclose(float(lj), float(loss_t.detach()),
+                               rtol=1e-5)
+    for key in ("FF_RDB_Module.SFENet1.weight",
+                "FAC_FB_Module.shared_FGAC.fusion.weight",
+                "Refine_Module.enc1.weight", "Dec_last2.weight",
+                "Booster_Module.GB.convz1.weight", "Dec_last2_2.bias"):
+        path, leaf = torch_key_to_flax_path(key)
+        node = grads["params"]
+        for p in path:
+            node = node[p]
+        gj = np.asarray(node[leaf])
+        gt_ = tgrads[key]
+        if leaf == "kernel":
+            if gt_.ndim == 5:
+                gt_ = gt_[:, :, 0]
+            gt_ = np.transpose(gt_, (2, 3, 1, 0))
+        rel = la.norm(gj - gt_) / (la.norm(gt_) + 1e-12)
+        assert rel < 5e-3, f"{key}: rel grad err {rel}"
