@@ -205,12 +205,23 @@ class InferenceEngine:
                                   "diff_10": 1, "diff_01": 1}.get(f.name, 3))
                   for f in dataclasses.fields(WindowResult)}
 
+        # group same-shape tiles (interior tiles share a shape) and run
+        # each group as one batched device call
+        tiles = []
         for ph in range(n_ph):
             for pw in range(n_pw):
                 h_lo, h_hi, w_lo, w_hi = _tile_bounds(
                     patch_boundary, new_h, new_w, ph, sh, pw, sw)
-                tile = frames[:, :, h_lo:h_hi, w_lo:w_hi, :]
-                res = self._run_window(tile, ts)
+                tiles.append(((ph, pw),
+                              frames[:, :, h_lo:h_hi, w_lo:w_hi, :]))
+        groups: dict = {}
+        for pos, tile in tiles:
+            groups.setdefault(tile.shape, []).append((pos, tile))
+        for shape, group in groups.items():
+            batch = np.concatenate([t for _, t in group], axis=0)
+            ts_b = np.tile(ts[None], (len(group), 1))
+            results = self._run(batch, ts_b)
+            for (ph, pw), res in zip((p for p, _ in group), results):
                 for name, canvas_arr in fields.items():
                     t = _trim(getattr(res, name), patch_boundary,
                               new_h, new_w, ph, sh, pw, sw)

@@ -64,7 +64,9 @@ def test_tiled_matches_untiled_with_local_model(engine):
 
     eng2 = object.__new__(type(eng))
     eng2.__dict__.update(eng.__dict__)
-    eng2._run_window = stub_run
+    eng2._run = lambda frames, ts: [stub_run(frames[i:i + 1], ts[i])
+                                    for i in range(len(frames))]
+    eng2._run_window = lambda frames, ts: eng2._run(frames, ts[None])[0]
     eng2.t_chunk = None
 
     rng = np.random.RandomState(1)
