@@ -120,6 +120,8 @@ def run_train(cfg: DeMFIConfig) -> None:
     em = AsyncExperimentManager(cfg)
     model = make_model(cfg)
     state, tx = create_train_state(cfg, model, jax.random.PRNGKey(cfg.seed))
+    from demfi_tpu.utils.meters import model_summary
+    print(model_summary(state.params))
     mesh = make_mesh(cfg.mesh_data, cfg.mesh_spatial)
     step = make_train_step(cfg, model, tx, mesh=mesh)
     writer = _writer(cfg)

@@ -41,3 +41,21 @@ class ProgressPrinter:
         entries = [self.prefix + self._fmt.format(batch)]
         entries += [str(m) for m in self.meters]
         print("\t".join(entries))
+
+
+def model_summary(params) -> str:
+    """Parameter-count summary per top-level module (the reference prints
+    a torchinfo summary at startup, main.py:190)."""
+    import numpy as np
+
+    lines = ["=" * 56, f"{'module':<38}{'params':>16}", "-" * 56]
+    total = 0
+    tree = params.get("params", params)
+    for name in sorted(tree):
+        import jax
+        n = sum(int(np.prod(x.shape))
+                for x in jax.tree_util.tree_leaves(tree[name]))
+        total += n
+        lines.append(f"{name:<38}{n:>16,}")
+    lines += ["-" * 56, f"{'TOTAL':<38}{total:>16,}", "=" * 56]
+    return "\n".join(lines)
