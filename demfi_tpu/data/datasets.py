@@ -68,13 +68,15 @@ class AdobeTrainDataset:
     rot90, and random temporal reversal with t -> 1-t.
     """
 
-    def __init__(self, train_data_path: str, t_step_size: int = 8,
+    def __init__(self, train_data_path: str, t_sampling_num: int = 8,
                  patch_size: int = 256, need_patch: bool = True,
                  use_native: bool = True):
+        # t grid uses t_sampling_num (utils.py:253-255); the blur-frame
+        # interval itself is derived from filenames (utils.py:271)
         self.sharp, self.blur = build_train_index(train_data_path)
         if not self.sharp:
             raise RuntimeError(f"no scenes under {train_data_path}")
-        self.k = t_step_size
+        self.k = t_sampling_num
         self.patch_size = patch_size
         self.need_patch = need_patch
         self.use_native = use_native

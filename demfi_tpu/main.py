@@ -149,7 +149,7 @@ def run_train(cfg: DeMFIConfig) -> None:
                    float(meta.get("deblur_testPSNR", 0.0)),
                    float(meta.get("deblur_testSSIM", 0.0)), "")
 
-    ds = AdobeTrainDataset(cfg.train_data_path, cfg.t_step_size,
+    ds = AdobeTrainDataset(cfg.train_data_path, cfg.t_sampling_num,
                            cfg.patch_size, cfg.need_patch)
     loader = TrainLoader(ds, cfg.batch_size, cfg.num_thrds, cfg.seed)
 

@@ -35,7 +35,7 @@ def dataset_root(tmp_path_factory):
 
 
 def test_train_sample_layout(dataset_root):
-    ds = AdobeTrainDataset(dataset_root, t_step_size=8, patch_size=32)
+    ds = AdobeTrainDataset(dataset_root, t_sampling_num=8, patch_size=32)
     s = ds.sample(0, random.Random(0))
     assert s.frames.shape == (9, 32, 32, 3)
     assert s.frames.min() >= -1 and s.frames.max() <= 1
@@ -46,7 +46,7 @@ def test_train_sample_layout(dataset_root):
 
 
 def test_train_reversal_flips_t(dataset_root):
-    ds = AdobeTrainDataset(dataset_root, t_step_size=8, patch_size=32)
+    ds = AdobeTrainDataset(dataset_root, t_sampling_num=8, patch_size=32)
     ts = {round(float(ds.sample(0, random.Random(i)).t_value[0]), 4)
           for i in range(40)}
     # both t and 1-t variants appear across seeds
