@@ -194,7 +194,6 @@ def evaluate(cfg: DeMFIConfig, engine: InferenceEngine, multiple: int,
                 yield c, r
             w += len(chunk)
 
-    fix_start = time.time()
     for w, ((blur, s0_gt, s1_gt, sts_gt, items), res) in enumerate(
             _lookahead(iter_results())):
         if items[0].scene != prev_scene:
