@@ -80,6 +80,7 @@ def main():
     del os.environ["DEMFI_NO_PALLAS"]
 
     if not args.skip_pallas:
+      try:
         from demfi_tpu.ops.pallas_kernels import (
             bwarp_tpu, bilinear_sample_abs_tpu, fwarp_tpu)
         # correctness vs XLA first
@@ -104,6 +105,10 @@ def main():
             fwarp_tpu, x2, flo, floor=floor) * 1000
         report["pallas_abs64_ms"] = scalar_time(
             bilinear_sample_abs_tpu, x64, coords_abs, floor=floor) * 1000
+      except Exception as e:  # keep the rest of the report on failure
+        report["pallas_error"] = f"{type(e).__name__}: {str(e)[:300]}"
+        os.environ["DEMFI_NO_PALLAS"] = "1"
+        jax.clear_caches()
 
     # 3. model stages (both dtypes)
     from demfi_tpu.config import config_rb
