@@ -20,9 +20,31 @@ from __future__ import annotations
 
 import argparse
 import json
+import subprocess
+import sys
 import time
 
 import numpy as np
+
+
+def probe_backend(timeout_s: float = 150.0):
+    """Run jit(x+1) in a subprocess with a hard timeout.
+
+    The axon relay can wedge such that backend init hangs or raises; a
+    same-process probe would hang this script too (BENCH_r01 died inside
+    device_put with no JSON emitted). Returns (ok, detail)."""
+    code = ("import jax; x = jax.jit(lambda x: x + 1)(1.0); "
+            "print('PROBE_OK', float(x), jax.default_backend())")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, text=True,
+                           timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return False, f"probe timeout after {timeout_s:.0f}s (relay wedged)"
+    if r.returncode == 0 and "PROBE_OK" in r.stdout:
+        return True, r.stdout.strip().splitlines()[-1]
+    tail = (r.stderr or r.stdout).strip().splitlines()[-1:]
+    return False, f"probe rc={r.returncode}: {' '.join(tail)}"
 
 
 def main():
@@ -35,9 +57,32 @@ def main():
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--readback", action="store_true",
                     help="include full host readback (tunnel-bound in dev)")
+    ap.add_argument("--probe_timeout", type=float, default=150.0)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force an explicitly-labeled CPU measurement")
+    ap.add_argument("--no_probe", action="store_true")
     args = ap.parse_args()
 
+    if not (args.cpu or args.no_probe):
+        ok, detail = probe_backend(args.probe_timeout)
+        if not ok:
+            # machine-readable failure record — never crash without JSON
+            print(json.dumps({
+                "metric": "x8 MFI interp frames/sec/chip (tpu-unavailable)",
+                "value": 0.0,
+                "unit": "frames/s",
+                "vs_baseline": 0.0,
+                "error": detail,
+            }))
+            return
+
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+        if not args.quick and args.res == "352x640":
+            args.quick = True  # full-res CPU run is pointlessly slow
+
     import jax.numpy as jnp
 
     from demfi_tpu.config import config_rb
@@ -110,6 +155,8 @@ def main():
 
     fps = 7.0 / dt
     baseline_fps = 1.0 / 0.61  # reference Rt at 640x352 (Table 2)
+    if args.cpu:
+        mode += ", CPU-FALLBACK (not a TPU number)"
     print(json.dumps({
         "metric": f"x8 MFI interp frames/sec/chip ({h}x{w}, "
                   f"N_tst={args.n_tst}, {args.dtype}, {mode})",
