@@ -89,6 +89,15 @@ class DeMFIConfig:
     # Additionally batch this many same-shape windows per device call
     # during untiled eval.
     eval_window_batch: int = 1
+    # Cap on t-values per device batch in the inference engine (0 = all
+    # M-1 instants in one call). Tune for HBM at large resolutions.
+    t_chunk: int = 0
+    # Static motion window of the Pallas warp kernels (rows; columns are
+    # fixed at +-127). Flows beyond it auto-fall back to the exact XLA
+    # path at runtime (ops/warp.py dispatch guard).
+    pallas_vr: int = 64
+    # Row span of the Pallas FGAC absolute-coordinate sampler.
+    pallas_span: int = 128
     # Remat (checkpoint) the RDB backbone during training to trade FLOPs
     # for HBM.
     remat_backbone: bool = False

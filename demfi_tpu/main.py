@@ -85,6 +85,12 @@ def parse_args(argv=None) -> DeMFIConfig:
     p.add_argument("--mesh_spatial", type=int, default=d.mesh_spatial)
     p.add_argument("--compute_tOF", action="store_true")
     p.add_argument("--eval_window_batch", type=int, default=d.eval_window_batch)
+    p.add_argument("--t_chunk", type=int, default=d.t_chunk)
+    p.add_argument("--pallas_vr", type=int, default=d.pallas_vr,
+                   help="Pallas warp-kernel vertical motion window (rows); "
+                        "larger flows auto-fall back to the exact XLA path")
+    p.add_argument("--pallas_span", type=int, default=d.pallas_span,
+                   help="Pallas FGAC-sampler absolute row span")
     p.add_argument("--seed", type=int, default=d.seed)
     a = p.parse_args(argv)
 
@@ -222,7 +228,8 @@ def run_train(cfg: DeMFIConfig) -> None:
                 save_debug(epoch, it, frames, ts, state.params)
 
         if (epoch + 1) % cfg.epoch_freq_display == 0 or epoch == 0:
-            engine = InferenceEngine(model, state.params, cfg.N_trn)
+            engine = InferenceEngine(model, state.params, cfg.N_trn,
+                                     t_chunk=cfg.t_chunk or None)
             results = evaluate(cfg, engine, multiple=2, epoch=epoch,
                                center_patch=cfg.patch_size,
                                test_type="valid_5_per_scene",
@@ -247,7 +254,8 @@ def run_train(cfg: DeMFIConfig) -> None:
 
     print("-" * 20, "Training has been ended.", "-" * 20)
     print("best_PSNR of model:", best_psnr)
-    engine = InferenceEngine(model, state.params, cfg.N_tst)
+    engine = InferenceEngine(model, state.params, cfg.N_tst,
+                             t_chunk=cfg.t_chunk or None)
     evaluate(cfg, engine, multiple=cfg.multiple_MFI, epoch=cfg.epochs - 1,
              post_fix=f"_final_x{cfg.multiple_MFI}_full_resolution"
                       f"_Ntst{cfg.N_tst}",
@@ -285,7 +293,8 @@ def run_test(cfg: DeMFIConfig) -> None:
     from demfi_tpu.infer.driver import evaluate
 
     model, params = _load_eval_params(cfg)
-    engine = InferenceEngine(model, params, cfg.N_tst)
+    engine = InferenceEngine(model, params, cfg.N_tst,
+                             t_chunk=cfg.t_chunk or None)
     print(f"Evaluating on {cfg.test_data_path} with multiple = "
           f"{cfg.multiple_MFI} with full resolution")
     evaluate(cfg, engine, multiple=cfg.multiple_MFI,
@@ -300,7 +309,8 @@ def run_test_custom(cfg: DeMFIConfig) -> None:
     from demfi_tpu.infer.driver import evaluate_custom
 
     model, params = _load_eval_params(cfg)
-    engine = InferenceEngine(model, params, cfg.N_tst)
+    engine = InferenceEngine(model, params, cfg.N_tst,
+                             t_chunk=cfg.t_chunk or None)
     print(f"Evaluating on {cfg.custom_path} with multiple = "
           f"{cfg.multiple_MFI}")
     evaluate_custom(cfg, engine, multiple=cfg.multiple_MFI,
@@ -317,6 +327,8 @@ def cli(argv=None) -> None:
     cfg = parse_args(argv)
     for f in dataclasses.fields(cfg):
         print(f"# {f.name} : {getattr(cfg, f.name)}")
+    from demfi_tpu.ops.warp import set_pallas_window
+    set_pallas_window(vr=cfg.pallas_vr, span=cfg.pallas_span)
     if cfg.phase == "train":
         run_train(cfg)
     elif cfg.phase == "test":

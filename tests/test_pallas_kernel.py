@@ -162,6 +162,88 @@ def test_fwarp_tpu_batch2():
                                atol=1e-4, rtol=1e-4)
 
 
+def test_bounded_motion_guard_falls_back_to_exact():
+    """200 px in-image motion exceeds the static window (vr=64): the
+    dispatch guard must take the exact XLA branch and return identical
+    output — the window can never silently truncate (VERDICT r1 item 3)."""
+    import demfi_tpu.ops.warp as warp_mod
+    B, H, Wd, C = 1, 256, 128, 4
+    x = RNG.randn(B, H, Wd, C).astype(np.float32)
+    flo = np.zeros((B, H, Wd, 2), np.float32)
+    flo[..., 1] = -200.0  # rows 200.. sample in-image rows 0.. -> in_img
+    want = np.asarray(warp_mod._bwarp_xla(jnp.asarray(x), jnp.asarray(flo)))
+    assert np.abs(want).max() > 0  # the motion really lands in-image
+    orig = warp_mod._use_pallas
+    try:
+        warp_mod._use_pallas = lambda: True
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(W.bwarp(jnp.asarray(x), jnp.asarray(flo)))
+            fw_want = warp_mod._fwarp_xla(jnp.asarray(x), jnp.asarray(flo))
+            fw_got = W.fwarp(jnp.asarray(x), jnp.asarray(flo))
+    finally:
+        warp_mod._use_pallas = orig
+    np.testing.assert_array_equal(got, want)
+    np.testing.assert_array_equal(np.asarray(fw_got[0]),
+                                  np.asarray(fw_want[0]))
+    np.testing.assert_array_equal(np.asarray(fw_got[1]),
+                                  np.asarray(fw_want[1]))
+
+
+def test_guard_keeps_pallas_for_out_of_image_motion():
+    """Huge flows that land fully OUTSIDE the image are zero on both
+    paths, so the guard must NOT force a fallback (both agree)."""
+    import demfi_tpu.ops.warp as warp_mod
+    B, H, Wd, C = 1, 32, 128, 4
+    x = RNG.randn(B, H, Wd, C).astype(np.float32)
+    flo = np.full((B, H, Wd, 2), 1e5, np.float32)
+    orig = warp_mod._use_pallas
+    try:
+        warp_mod._use_pallas = lambda: True
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(W.bwarp(jnp.asarray(x), jnp.asarray(flo)))
+    finally:
+        warp_mod._use_pallas = orig
+    assert np.abs(got).max() == 0.0
+
+
+def test_pallas_dispatch_is_differentiable():
+    """Grads must flow through the Pallas dispatch (training on TPU):
+    custom_vjp recomputes through the exact XLA path, so gradients equal
+    the XLA-path gradients bit-for-bit."""
+    import demfi_tpu.ops.warp as warp_mod
+    B, H, Wd, C = 1, 16, 128, 4
+    x = jnp.asarray(RNG.randn(B, H, Wd, C), jnp.float32)
+    flo = jnp.asarray(RNG.randn(B, H, Wd, 2) * 3, jnp.float32)
+
+    def loss_b(x, f):
+        return jnp.sum(W.bwarp(x, f) ** 2)
+
+    def loss_f(x, f):
+        o, n = W.fwarp(x, f)
+        return jnp.sum(o ** 2) + jnp.sum(n ** 2)
+
+    def loss_a(x, f):
+        return jnp.sum(W.bilinear_sample_abs(x, f) ** 2)
+
+    want = [jax.grad(l, argnums=(0, 1))(x, flo)
+            for l in (loss_b, loss_f, loss_a)]
+    orig = warp_mod._use_pallas
+    try:
+        warp_mod._use_pallas = lambda: True
+        with pltpu.force_tpu_interpret_mode():
+            got = [jax.grad(l, argnums=(0, 1))(x, flo)
+                   for l in (loss_b, loss_f, loss_a)]
+    finally:
+        warp_mod._use_pallas = orig
+    # bwd is the exact XLA vjp on both paths; the residual tolerance is
+    # pallas-vs-XLA float noise in the PRIMAL feeding dL/dout = 2*out
+    for (gw_x, gw_f), (gg_x, gg_f) in zip(want, got):
+        np.testing.assert_allclose(np.asarray(gg_x), np.asarray(gw_x),
+                                   atol=5e-4, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(gg_f), np.asarray(gw_f),
+                                   atol=5e-4, rtol=1e-4)
+
+
 def test_full_model_through_pallas_dispatch():
     """Run the whole DeMFI forward with the pallas warp dispatch forced on
     (interpreter mode) and compare against the exact XLA path — derisks
