@@ -47,10 +47,20 @@ def _rec_loss(cfg_loss_type: str):
 def make_optimizer(cfg: DeMFIConfig) -> optax.GradientTransformation:
     """Adam with an epoch-indexed stair-decay schedule. The schedule is
     applied via inject_hyperparams so lr updates per epoch exactly like
-    MultiStepLR (main.py:186, 510-511)."""
-    return optax.inject_hyperparams(optax.adamw)(
-        learning_rate=cfg.init_lr, b1=0.9, b2=0.999,
-        weight_decay=cfg.weight_decay)
+    MultiStepLR (main.py:186, 510-511).
+
+    Weight decay is L2-coupled exactly like torch.optim.Adam
+    (main.py:179-184): grad += wd * param BEFORE the moment updates —
+    not AdamW's decoupled decay (divergent for any nonzero wd)."""
+    def adam_l2(learning_rate, weight_decay):
+        return optax.chain(
+            optax.add_decayed_weights(weight_decay),
+            optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+            optax.scale(-learning_rate),
+        )
+
+    return optax.inject_hyperparams(adam_l2)(
+        learning_rate=cfg.init_lr, weight_decay=cfg.weight_decay)
 
 
 def demfi_loss(cfg: DeMFIConfig, out: DeMFIOutputs, gt0, gt1, gtt,
