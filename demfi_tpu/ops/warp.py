@@ -257,7 +257,10 @@ def bilinear_sample_abs(img: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     any base meshgrid (the trained-in FGAC absolute-coordinate behavior).
     """
     h, w = img.shape[1], img.shape[2]
-    if _use_pallas() and h >= 16 and w >= 16:
+    # the Pallas kernel assumes the query grid matches the image grid;
+    # the fgac rr>0 level grid (H*G, W*G) takes the exact XLA path
+    if (_use_pallas() and h >= 16 and w >= 16
+            and img.shape[1:3] == coords.shape[1:3]):
         return _abs_fast(img, coords, min(_PALLAS_SPAN, h + 8))
     return _bilinear_abs_xla(img, coords)
 
@@ -365,22 +368,56 @@ def fgac_correlate(ref_k: jnp.ndarray, source_k: jnp.ndarray,
     At the released-model setting rr = sr = 0 (DeMFInet.py:401-402) the
     window is a single tap and softmax == 1, so this reduces to a pure
     bilinear gather of ref_k at the flow coordinates.
+
+    The generalized rr > 0 branch reproduces the reference's executed
+    code (DeMFInet.py:404-447) EXACTLY, including three quirks of that
+    (never-exercised: rr is a hardcoded local) path, pinned by the torch
+    oracle test (tests/test_ops.py):
+      * the offset grid is a transposed meshgrid — the window ROW index
+        offsets the x coordinate and the column index offsets y
+        (``torch.stack(torch.meshgrid(dy, dx), -1)`` + ch0 = x sampler);
+      * the centroid canvas TILES the flow field (``flow.repeat``) while
+        the offsets interleave per-pixel windows, so tap (i, j) of block
+        pixel (h, w) samples at flow[(h*G+i) % H, (w*G+j) % W]'s
+        coordinates — not necessarily pixel (h, w)'s;
+      * the strided ``F.unfold`` with padding rr re-extracts windows
+        shifted by -rr block cells, mixing window rows of neighboring
+        pixels at the window borders.
+
+    All (2rr+1)^2 taps are gathered in ONE bilinear sample over the
+    (H*G, W*G) level grid — no serial per-tap gathers.
     """
     ref_k = _avg_pool_same(ref_k, 2 * sr + 1)
     if rr == 0:
         return bilinear_sample_abs(ref_k, flow)
 
     source_k = _avg_pool_same(source_k, 2 * sr + 1)
-    offs = jnp.arange(-rr, rr + 1, dtype=flow.dtype)
+    b, h, w, c = ref_k.shape
+    g = 2 * rr + 1
+
+    # (i) level grid: tiled centroids + interleaved transposed offsets
+    rows = jnp.arange(h * g)
+    cols = jnp.arange(w * g)
+    off_x = ((rows % g) - rr).astype(flow.dtype)   # row index -> x offset
+    off_y = ((cols % g) - rr).astype(flow.dtype)   # col index -> y offset
+    fx = jnp.tile(flow[..., 0], (1, g, g))         # [B, H*G, W*G]
+    fy = jnp.tile(flow[..., 1], (1, g, g))
+    coords = jnp.stack([fx + off_x[None, :, None],
+                        fy + off_y[None, None, :]], axis=-1)
+    sampled = bilinear_sample_abs(ref_k, coords)   # [B, H*G, W*G, C]
+
+    # (ii) block transpose + unfold(kernel=G, stride=G, padding=rr)
+    bi = sampled.reshape(b, h, g, w, g, c).transpose(0, 2, 1, 4, 3, 5)
+    bi = bi.reshape(b, g * h, g * w, c)
+    bip = jnp.pad(bi, ((0, 0), (rr, rr), (rr, rr), (0, 0)))
     taps = []
     corrs = []
-    for oy in range(2 * rr + 1):
-        for ox in range(2 * rr + 1):
-            delta = jnp.stack([offs[ox], offs[oy]])
-            tap = bilinear_sample_abs(ref_k, flow + delta)
+    for p in range(g):
+        for q in range(g):
+            tap = bip[:, p::g, q::g, :][:, :h, :w, :]
             taps.append(tap)
             corrs.append(jnp.sum(tap * source_k, axis=-1))
-    taps = jnp.stack(taps, axis=-2)          # [B,H,W,K,C]
+    taps = jnp.stack(taps, axis=-2)           # [B,H,W,K,C]
     corr = jnp.stack(corrs, axis=-1)          # [B,H,W,K]
     attn = jax.nn.softmax(corr, axis=-1)
     return jnp.sum(taps * attn[..., None], axis=-2)

@@ -180,6 +180,56 @@ def test_fgac_general_window_softmax_normalized():
     assert np.isfinite(out).all()
 
 
+def torch_fgac_generalized(ref_k, source_k, flow_s2r, rr, sr):
+    """Torch oracle replaying the reference's generalized-window FGAC
+    (DeMFInet.py:404-447) with the hardcoded radii promoted to
+    parameters. Reproduces the executed code exactly — including the
+    transposed meshgrid offsets, the tiled (``repeat``) centroid canvas,
+    and the padded strided unfold. ref_k/source_k: [B,C,H,W];
+    flow_s2r: [B,H,W,2] with channel 0 = x (post-permute layout)."""
+    f_bs, f_h, f_w, _ = flow_s2r.shape
+    C = ref_k.shape[1]
+    g = 2 * rr + 1
+    dx = torch.linspace(-rr, rr, g)
+    dy = torch.linspace(-rr, rr, g)
+    delta = torch.stack(torch.meshgrid(dy, dx, indexing="ij"), axis=-1)
+    delta_lvl = delta.contiguous().view(1, 1, g, 1, g, 2).repeat(
+        1, f_h, 1, f_w, 1, 1).contiguous().view(1, f_h * g, f_w * g, 2)
+    centroid_lvl = flow_s2r.repeat(1, g, g, 1)
+    lvl = centroid_lvl + delta_lvl
+
+    ref_k = TF.avg_pool2d(ref_k, (2 * sr + 1,) * 2, (1, 1), padding=sr)
+    H, W = ref_k.shape[-2:]
+    xg, yg = lvl.split([1, 1], dim=-1)
+    grid = torch.cat([2 * xg / (W - 1) - 1, 2 * yg / (H - 1) - 1], dim=-1)
+    idx = TF.grid_sample(ref_k, grid, align_corners=True)
+    idx = idx.contiguous().view(f_bs, C, f_h, g, f_w, g).permute(
+        0, 1, 3, 2, 5, 4).contiguous().view(f_bs, C, g * f_h, g * f_w)
+    idx = TF.unfold(idx, kernel_size=(g, g), stride=(g, g), padding=rr)
+    grid_sampled = idx.contiguous().view(f_bs, C, g ** 2, f_h, f_w)
+
+    source_k = TF.avg_pool2d(source_k, (2 * sr + 1,) * 2, (1, 1), padding=sr)
+    corr = torch.sum(grid_sampled * source_k.unsqueeze(2), 1)
+    soft = torch.softmax(corr, dim=1).unsqueeze(1)
+    return torch.sum(grid_sampled * soft, 2)
+
+
+@pytest.mark.parametrize("rr,sr", [(1, 0), (1, 1), (2, 0)])
+def test_fgac_general_window_matches_reference_oracle(rr, sr):
+    """Parity of the generalized rr/sr window against the reference's
+    executed code path (VERDICT r1 missing 7; SURVEY hard part 3)."""
+    B, H, W, C = 1, 6, 7, 5
+    ref = RNG.randn(B, H, W, C).astype(np.float32)
+    src = RNG.randn(B, H, W, C).astype(np.float32)
+    flow = (RNG.randn(B, H, W, 2) * 2 + 1).astype(np.float32)
+    want = torch_fgac_generalized(
+        torch.from_numpy(nchw(ref)), torch.from_numpy(nchw(src)),
+        torch.from_numpy(flow), rr, sr).numpy()
+    got = np.asarray(fgac_correlate(jnp.asarray(ref), jnp.asarray(src),
+                                    jnp.asarray(flow), rr=rr, sr=sr))
+    np.testing.assert_allclose(got, nhwc(want), rtol=1e-4, atol=1e-5)
+
+
 def test_fgac_avg_pool_matches_torch():
     from demfi_tpu.ops.warp import _avg_pool_same
     x = RNG.randn(2, 9, 11, 3).astype(np.float32)
