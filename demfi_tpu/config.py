@@ -76,6 +76,12 @@ class DeMFIConfig:
     custom_path: str = "./custom_path"
 
     # ---- TPU-native extensions (no reference analogue) ----
+    # Multi-host: join a global JAX process group before building the
+    # mesh (jax.distributed.initialize). Leave unset for single-process;
+    # TPU pods can also auto-detect all three from the environment.
+    coordinator_address: Optional[str] = None
+    num_processes: Optional[int] = None
+    process_id: Optional[int] = None
     # Compute dtype for the conv backbone. Params are always float32.
     # "float32" reproduces PyTorch numerics; "bfloat16" roughly doubles
     # MXU throughput at a small PSNR cost.
@@ -98,6 +104,11 @@ class DeMFIConfig:
     pallas_vr: int = 64
     # Row span of the Pallas FGAC absolute-coordinate sampler.
     pallas_span: int = 128
+    # lax.scan the Stage-II boosting loop (one compiled body instead of
+    # num_update copies — ~N× lower Stage-II trace/compile cost at N_trn=5;
+    # outputs match the unrolled loop within fp32 fusion noise, see
+    # tests/test_model.py::test_scan_booster_matches_unrolled).
+    scan_booster: bool = True
     # Remat (checkpoint) the RDB backbone during training to trade FLOPs
     # for HBM.
     remat_backbone: bool = False

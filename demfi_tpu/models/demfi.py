@@ -17,8 +17,12 @@ TPU-first design decisions (not translations):
     ``synthesize()`` (t-dependent) so arbitrary-M interpolation vmaps all
     t-values over a single backbone pass; the reference re-runs the whole
     network per t (main.py:733-748).
-  - Recursive boosting unrolls the static ``num_update`` (1/3/5) like the
-    reference's Python loop; per-iteration outputs are stacked.
+  - Recursive boosting runs the static ``num_update`` (1/3/5) iterations
+    through ``nn.scan`` with parameters broadcast (one traced/compiled
+    Stage-II body instead of N copies; per-iteration outputs are the
+    stacked scan ys). ``scan_booster=False`` falls back to a Python
+    unroll producing bit-identical parameter trees — both paths share
+    ``_boost_step`` and are tested equal (tests/test_model.py).
 """
 from __future__ import annotations
 
@@ -380,6 +384,10 @@ class DeMFINet(nn.Module):
     fgac_rr: int = 0
     fgac_sr: int = 0
     use_stage2: bool = True
+    # lax.scan the Stage-II loop (params broadcast): one compiled booster
+    # body regardless of num_update. False = Python unroll (same params,
+    # same outputs; lets XLA specialize per iteration at N× compile cost).
+    scan_booster: bool = True
     # rematerialize the RDB backbone in the backward pass (trades FLOPs
     # for HBM during training)
     remat: bool = False
@@ -476,11 +484,6 @@ class DeMFINet(nn.Module):
         s0p, s1p, stp = out[:, 0], out[:, 1], out[:, 2]
 
         flow_init = jnp.concatenate([rflow_t0, rflow_t1], axis=-1)
-        flow_preds = [flow_init]
-        occ0_preds = [occ_0]
-        s0_fin: List[Array] = []
-        s1_fin: List[Array] = []
-        st_fin: List[Array] = []
 
         if self.use_stage2 and num_update > 0:
             f_rec = jnp.tanh(self.Ch_Reducer(
@@ -493,57 +496,87 @@ class DeMFINet(nn.Module):
             sp_ref = jnp.concatenate([s0p, s1p, stp, ctx.frames], axis=-1)
             ref = jnp.concatenate([sp_ref, length1_ref, t_ref], axis=-1)
 
-            delta_flow = flow_init.astype(self.dtype)
-            delta_occ = occ_0_logit.astype(self.dtype)
-            for _ in range(num_update):
-                delta = jnp.concatenate([delta_flow, delta_occ], axis=-1)
-                f_rec, d_flow, d_occ = self.Booster_Module(f_rec, ref, delta)
-                delta_flow = delta_flow + d_flow
-                delta_occ = delta_occ + d_occ
-
-                ft0_f = delta_flow[..., :2].astype(jnp.float32)
-                ft1_f = delta_flow[..., 2:4].astype(jnp.float32)
-                occ_0_f = nn.sigmoid(delta_occ.astype(jnp.float32))
-                occ0_preds.append(occ_0_f)
-                flow_preds.append(delta_flow.astype(jnp.float32))
-
-                st_new = _t_blend(
-                    bwarp(s0p.astype(jnp.float32), ft0_f),
-                    bwarp(s1p.astype(jnp.float32), ft1_f),
-                    occ_0_f, t).astype(self.dtype)
-
-                agg3 = jnp.concatenate(
-                    [s0p, s1p, st_new, f_rec,
-                     occ_0.astype(self.dtype), rflow_t0.astype(self.dtype),
-                     rflow_t1.astype(self.dtype),
+            carry = (f_rec, flow_init.astype(self.dtype),
+                     occ_0_logit.astype(self.dtype))
+            const = (ref, s0p, s1p, occ_0,
+                     rflow_t0.astype(self.dtype), rflow_t1.astype(self.dtype),
                      ctx.flow_10.astype(self.dtype),
-                     ctx.flow_01.astype(self.dtype),
-                     ft0_f.astype(self.dtype), ft1_f.astype(self.dtype),
-                     occ_0_f.astype(self.dtype), ctx.frames], axis=-1)
-                out = nn.relu(self.Dec_first_2(agg3))
-                for blk in self.Decoder_res_2:
-                    out = blk(out)
-                out = nn.relu(self.Dec_last1_2(out))
-                out = self.Dec_last2_2(out)
-                s0_fin.append(out[..., 0:3] + s0p)
-                s1_fin.append(out[..., 3:6] + s1p)
-                st_fin.append(out[..., 6:9] + st_new)
-
-        def stk(xs, like):
-            if xs:
-                return jnp.stack(xs, axis=0)
-            return jnp.zeros((0,) + like.shape, like.dtype)
+                     ctx.flow_01.astype(self.dtype), ctx.frames, t)
+            if self.scan_booster:
+                # one traced booster body; params broadcast across
+                # iterations; loop-invariants enter via closure
+                _, ys = nn.scan(
+                    lambda mdl, c, _: mdl._boost_step(c, const),
+                    variable_broadcast="params",
+                    split_rngs={"params": False},
+                    length=num_update)(self, carry, None)
+            else:
+                ys_list = []
+                for _ in range(num_update):
+                    carry, y = self._boost_step(carry, const)
+                    ys_list.append(y)
+                ys = jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(xs, axis=0), *ys_list)
+            flow_iters, occ_iters, s0_fin, s1_fin, st_fin = ys
+            flow_preds = jnp.concatenate([flow_init[None], flow_iters], axis=0)
+            occ0_preds = jnp.concatenate([occ_0[None], occ_iters], axis=0)
+        else:
+            empty = lambda like: jnp.zeros((0,) + like.shape, like.dtype)
+            s0_fin, s1_fin, st_fin = empty(s0p), empty(s1p), empty(stp)
+            flow_preds = flow_init[None]
+            occ0_preds = occ_0[None]
 
         return DeMFIOutputs(
             s0_prime=s0p, s1_prime=s1p, st_prime=stp,
-            s0_final=stk(s0_fin, s0p), s1_final=stk(s1_fin, s1p),
-            st_final=stk(st_fin, stp),
-            flow_preds=jnp.stack(flow_preds, axis=0),
-            occ0_preds=jnp.stack(occ0_preds, axis=0),
+            s0_final=s0_fin, s1_final=s1_fin, st_final=st_fin,
+            flow_preds=flow_preds,
+            occ0_preds=occ0_preds,
             ovlp_b0b1=(b0 + b1) / 2.0,
             diff_maps=ctx.diff_maps,
             blend_weights=ctx.blend_weights,
         )
+
+    def _boost_step(self, carry, const):
+        """One recursive-boosting iteration (DeMFInet.py:130-165).
+
+        ``carry`` = (f_rec, delta_flow, delta_occ) in compute dtype;
+        ``const`` holds the loop-invariant tensors. Shared by the
+        nn.scan and unrolled paths so both produce identical math and an
+        identical parameter tree (Stage-II modules stay direct children).
+        """
+        f_rec, delta_flow, delta_occ = carry
+        (ref, s0p, s1p, occ_0, rflow_t0_c, rflow_t1_c,
+         flow_10_c, flow_01_c, frames, t) = const
+
+        delta = jnp.concatenate([delta_flow, delta_occ], axis=-1)
+        f_rec, d_flow, d_occ = self.Booster_Module(f_rec, ref, delta)
+        delta_flow = delta_flow + d_flow
+        delta_occ = delta_occ + d_occ
+
+        ft0_f = delta_flow[..., :2].astype(jnp.float32)
+        ft1_f = delta_flow[..., 2:4].astype(jnp.float32)
+        occ_0_f = nn.sigmoid(delta_occ.astype(jnp.float32))
+
+        st_new = _t_blend(
+            bwarp(s0p.astype(jnp.float32), ft0_f),
+            bwarp(s1p.astype(jnp.float32), ft1_f),
+            occ_0_f, t).astype(self.dtype)
+
+        agg3 = jnp.concatenate(
+            [s0p, s1p, st_new, f_rec,
+             occ_0.astype(self.dtype), rflow_t0_c, rflow_t1_c,
+             flow_10_c, flow_01_c,
+             ft0_f.astype(self.dtype), ft1_f.astype(self.dtype),
+             occ_0_f.astype(self.dtype), frames], axis=-1)
+        out = nn.relu(self.Dec_first_2(agg3))
+        for blk in self.Decoder_res_2:
+            out = blk(out)
+        out = nn.relu(self.Dec_last1_2(out))
+        out = self.Dec_last2_2(out)
+        ys = (delta_flow.astype(jnp.float32), occ_0_f,
+              out[..., 0:3] + s0p, out[..., 3:6] + s1p,
+              out[..., 6:9] + st_new)
+        return (f_rec, delta_flow, delta_occ), ys
 
     def __call__(self, frames: Array, t_value: Array,
                  num_update: int = 1) -> DeMFIOutputs:
@@ -562,6 +595,7 @@ def make_model(cfg: DeMFIConfig) -> DeMFINet:
         fgac_rr=cfg.fgac_rr,
         fgac_sr=cfg.fgac_sr,
         use_stage2=max(cfg.N_trn, cfg.N_tst) > 0,
+        scan_booster=cfg.scan_booster,
         remat=cfg.remat_backbone,
         dtype=dtype,
     )

@@ -73,6 +73,41 @@ def test_staged_forward_matches_full(rb_model_and_params):
                                np.asarray(staged.s0_prime), atol=1e-6)
 
 
+def test_scan_booster_matches_unrolled(rb_model_and_params):
+    """The nn.scan Stage-II loop must match the Python unroll: identical
+    parameter tree (Stage-II modules stay direct children — checkpoint
+    converter untouched) and equal outputs up to fp32 fusion noise
+    (lax.scan compiles ONE body; the unroll lets XLA fuse each iteration
+    differently, so bitwise equality is not expected)."""
+    from demfi_tpu.models.demfi import DeMFINet
+
+    model, params = rb_model_and_params  # default: scan_booster=True
+    unrolled = DeMFINet(scan_booster=False)
+
+    # param-tree parity: init the unrolled variant with the same seed
+    frames0 = jnp.zeros((1, 4, 32, 32, 3), jnp.float32)
+    p2 = unrolled.init(jax.random.PRNGKey(0), frames0,
+                       jnp.array([[0.5]], jnp.float32), num_update=1)
+    flat1 = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat2 = jax.tree_util.tree_flatten_with_path(p2)[0]
+    assert [jax.tree_util.keystr(k) for k, _ in flat1] == \
+           [jax.tree_util.keystr(k) for k, _ in flat2]
+    for (_, a), (_, b) in zip(flat1, flat2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    frames = jnp.asarray(
+        np.random.RandomState(3).randn(2, 4, 32, 48, 3), jnp.float32)
+    t = jnp.array([[0.25], [0.625]], jnp.float32)
+    o_scan = model.apply(params, frames, t, num_update=3)
+    o_unrl = unrolled.apply(params, frames, t, num_update=3)
+    for name in ("st_prime", "s0_final", "s1_final", "st_final",
+                 "flow_preds", "occ0_preds"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(o_scan, name)),
+            np.asarray(getattr(o_unrl, name)), atol=1e-4,
+            err_msg=name)
+
+
 def test_iterations_accumulate(rb_model_and_params):
     """num_update=1 outputs must equal the first iteration of num_update=3."""
     model, params = rb_model_and_params

@@ -8,6 +8,9 @@ numerics, re-capture with:  python tests/test_regression.py --recapture
 """
 import json
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import pytest
@@ -35,6 +38,13 @@ def compute_stats():
         x = np.asarray(x, np.float64)
         return [float(x.mean()), float(x.std()), float(np.abs(x).max())]
 
+    def pix(x):
+        """Per-pixel probe: a fixed 4x6 interior patch of channel 0 —
+        drift-sensitive where mean/std/max statistics are not."""
+        x = np.asarray(x, np.float64)
+        return [round(float(v), 7) for v in
+                x[0, 13:17, 20:26, 0].reshape(-1)]
+
     return {
         "st_prime": stats(out.st_prime),
         "st_final_0": stats(out.st_final[0]),
@@ -42,6 +52,10 @@ def compute_stats():
         "flow_init": stats(out.flow_preds[0]),
         "flow_final": stats(out.flow_preds[-1]),
         "occ0_final": stats(out.occ0_preds[-1]),
+        "st_prime_pix": pix(out.st_prime),
+        "st_final_1_pix": pix(out.st_final[1]),
+        "flow_final_pix": pix(out.flow_preds[-1]),
+        "occ0_final_pix": pix(out.occ0_preds[-1]),
     }
 
 
@@ -58,6 +72,7 @@ def test_forward_matches_golden():
 
 if __name__ == "__main__":
     import sys
+    jax.config.update("jax_platforms", "cpu")  # goldens are CPU-captured
     if "--recapture" in sys.argv:
         with open(GOLDEN_PATH, "w") as f:
             json.dump(compute_stats(), f, indent=1)
