@@ -28,29 +28,54 @@ class TrainLoader:
 
     def __init__(self, dataset: AdobeTrainDataset, batch_size: int,
                  num_threads: int = 8, seed: int = 0, drop_last: bool = True,
-                 prefetch: int = 4):
+                 prefetch: int = 4, process_id: int = 0,
+                 process_count: int = 1):
+        """``batch_size`` is the GLOBAL batch. With process_count > 1
+        (multi-host), every process computes the same seeded shuffle and
+        loads only its batch_size/process_count slice of each global
+        batch — per-sample augmentation seeds are drawn for the full
+        global order first, so an N-process run consumes bit-identical
+        samples to the single-process run."""
         self.ds = dataset
         self.batch_size = batch_size
         self.num_threads = max(1, num_threads)
         self.seed = seed
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self.process_id = process_id
+        self.process_count = process_count
+        if process_count > 1:
+            if batch_size % process_count:
+                raise ValueError(f"global batch {batch_size} not divisible "
+                                 f"by {process_count} processes")
+            if not drop_last:
+                raise ValueError("multi-process loading requires drop_last")
 
     def __len__(self) -> int:
         n = len(self.ds)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def epoch(self, epoch_idx: int) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-        """Yields (frames [B,9,ps,ps,3], t [B,1]) float32."""
+        """Yields (frames [B,9,ps,ps,3], t [B,1]) float32 — B is the
+        per-process batch (global/process_count)."""
         rng = random.Random(self.seed * 1_000_003 + epoch_idx)
         order = list(range(len(self.ds)))
         rng.shuffle(order)
         n_batches = len(self)
         order = order[: n_batches * self.batch_size] if self.drop_last else order
+        seed_list = [rng.getrandbits(48) for _ in range(len(order))]
+
+        local_bs = self.batch_size
+        if self.process_count > 1:
+            local_bs = self.batch_size // self.process_count
+            sel = [k * self.batch_size + self.process_id * local_bs + j
+                   for k in range(n_batches) for j in range(local_bs)]
+            order = [order[i] for i in sel]
+            seed_list = [seed_list[i] for i in sel]
 
         sample_q: "queue.Queue" = queue.Queue(
-            maxsize=self.prefetch * self.batch_size)
-        seeds = {i: rng.getrandbits(48) for i in range(len(order))}
+            maxsize=self.prefetch * local_bs)
+        seeds = dict(enumerate(seed_list))
         pos = {"next": 0}
         lock = threading.Lock()
 
@@ -79,9 +104,9 @@ class TrainLoader:
             while want < total and want in buf:
                 want += 1
             # emit finished batches in order
-            while (emitted + self.batch_size <= want) or (
+            while (emitted + local_bs <= want) or (
                     not self.drop_last and want == total and emitted < total):
-                bs = min(self.batch_size, total - emitted)
+                bs = min(local_bs, total - emitted)
                 samples = [buf.pop(emitted + j) for j in range(bs)]
                 emitted += bs
                 frames = np.stack([x.frames for x in samples])
@@ -89,16 +114,18 @@ class TrainLoader:
                 yield frames, ts
 
 
-def device_prefetch(iterator, mesh=None, depth: int = 2):
+def device_prefetch(iterator, mesh=None, depth: int = 2, specs=None):
     """Overlap host->device transfer with compute: keeps ``depth`` batches
-    in flight on device (sharded over the mesh's 'data' axis if given)."""
+    in flight on device. ``specs``: per-leaf PartitionSpecs (defaults to
+    P('data') on dim 0) — pass train_batch_specs(mesh) for the train
+    loop so committed shardings match the step's in_shardings."""
     import collections
 
     from demfi_tpu.parallel import shard_batch
 
     buf = collections.deque()
     for batch in iterator:
-        buf.append(shard_batch(mesh, batch))
+        buf.append(shard_batch(mesh, batch, specs))
         if len(buf) >= depth:
             yield buf.popleft()
     while buf:

@@ -83,6 +83,10 @@ def parse_args(argv=None) -> DeMFIConfig:
                    choices=["float32", "bfloat16"])
     p.add_argument("--mesh_data", type=int, default=d.mesh_data)
     p.add_argument("--mesh_spatial", type=int, default=d.mesh_spatial)
+    p.add_argument("--coordinator_address", type=str, default=None,
+                   help="host:port of process 0 for multi-host training")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     p.add_argument("--compute_tOF", action="store_true")
     p.add_argument("--eval_window_batch", type=int, default=d.eval_window_batch)
     p.add_argument("--t_chunk", type=int, default=d.t_chunk)
@@ -119,18 +123,26 @@ def run_train(cfg: DeMFIConfig) -> None:
     from demfi_tpu.infer import InferenceEngine
     from demfi_tpu.infer.driver import evaluate
     from demfi_tpu.models import make_model
-    from demfi_tpu.parallel import make_mesh
+    from demfi_tpu.parallel import (init_distributed, make_global_mesh,
+                                    make_mesh)
     from demfi_tpu.train import create_train_state, make_train_step
     from demfi_tpu.utils.meters import AverageMeter, ProgressPrinter
+
+    # multi-host: join the process group BEFORE touching devices
+    pid, pcount = init_distributed(cfg.coordinator_address,
+                                   cfg.num_processes, cfg.process_id)
+    is_main = pid == 0
 
     em = AsyncExperimentManager(cfg)
     model = make_model(cfg)
     state, tx = create_train_state(cfg, model, jax.random.PRNGKey(cfg.seed))
     from demfi_tpu.utils.meters import model_summary
-    print(model_summary(state.params))
-    mesh = make_mesh(cfg.mesh_data, cfg.mesh_spatial)
+    if is_main:
+        print(model_summary(state.params))
+    mesh = (make_global_mesh(cfg.mesh_data, cfg.mesh_spatial) if pcount > 1
+            else make_mesh(cfg.mesh_data, cfg.mesh_spatial))
     step = make_train_step(cfg, model, tx, mesh=mesh)
-    writer = _writer(cfg)
+    writer = _writer(cfg) if is_main else None
 
     start_epoch = 0
     best_psnr = 0.0
@@ -157,7 +169,8 @@ def run_train(cfg: DeMFIConfig) -> None:
 
     ds = AdobeTrainDataset(cfg.train_data_path, cfg.t_sampling_num,
                            cfg.patch_size, cfg.need_patch)
-    loader = TrainLoader(ds, cfg.batch_size, cfg.num_thrds, cfg.seed)
+    loader = TrainLoader(ds, cfg.batch_size, cfg.num_thrds, cfg.seed,
+                         process_id=pid, process_count=pcount)
 
     # debug-sheet forward (reference saves sample sheets while training,
     # main.py:463-508)
@@ -192,9 +205,10 @@ def run_train(cfg: DeMFIConfig) -> None:
                           (f"{tag}_S1_GT", frames[0, 6])):
             cv2.imwrite(os.path.join(path, name + ".png"),
                         to_png_uint8(np.asarray(img)))
-    em.write_info("Epoch\tintp_testPSNR\tdeblur_testPSNR\tavg_testPSNR"
-                  "\tbest_PSNR\n")
-    print("[*] Training starts")
+    if is_main:
+        em.write_info("Epoch\tintp_testPSNR\tdeblur_testPSNR\tavg_testPSNR"
+                      "\tbest_PSNR\n")
+        print("[*] Training starts")
 
     for epoch in range(start_epoch, cfg.epochs):
         state = dataclasses.replace(state,
@@ -209,8 +223,10 @@ def run_train(cfg: DeMFIConfig) -> None:
               f"learning rate : [{cfg.lr_at_epoch(epoch)}]")
         t_last = time.time()
         from demfi_tpu.data.pipeline import device_prefetch
+        from demfi_tpu.train import train_batch_specs
+        bspecs = train_batch_specs(mesh) if mesh is not None else None
         for it, (frames, ts) in enumerate(
-                device_prefetch(loader.epoch(epoch), mesh)):
+                device_prefetch(loader.epoch(epoch), mesh, specs=bspecs)):
             state, m = step(state, frames, ts)
             losses.update(float(m["total_loss"]), 1)
             d1m.update(float(m["rec_D1"]), 1)
@@ -224,11 +240,18 @@ def run_train(cfg: DeMFIConfig) -> None:
                     writer.add_scalar("trainLoss", losses.val, tb)
                     writer.add_scalar("trainLoss_rec_D1", d1m.val, tb)
                     writer.add_scalar("trainLoss_rec_D2", d2m.val, tb)
-            if it in (0, cfg.freq_display - 1, (cfg.freq_display - 1) * 2):
+            if is_main and it in (0, cfg.freq_display - 1,
+                                  (cfg.freq_display - 1) * 2):
                 save_debug(epoch, it, frames, ts, state.params)
 
-        if (epoch + 1) % cfg.epoch_freq_display == 0 or epoch == 0:
-            engine = InferenceEngine(model, state.params, cfg.N_trn,
+        if is_main and ((epoch + 1) % cfg.epoch_freq_display == 0
+                        or epoch == 0):
+            # validation runs on process 0 only (no cross-process
+            # collectives inside the eval engine); params are replicated
+            # so the host copy is exact
+            eval_params = (jax.device_get(state.params) if pcount > 1
+                           else state.params)
+            engine = InferenceEngine(model, eval_params, cfg.N_trn,
                                      t_chunk=cfg.t_chunk or None)
             results = evaluate(cfg, engine, multiple=2, epoch=epoch,
                                center_patch=cfg.patch_size,
@@ -246,11 +269,12 @@ def run_train(cfg: DeMFIConfig) -> None:
                     testLoss=test_loss, trainLoss=losses.avg,
                     learningRate=cfg.lr_at_epoch(epoch),
                     batch_size=cfg.batch_size)
-        em.save_latest(state.params, state.opt_state, meta, best_flag)
-        if (epoch + 1) % cfg.epoch_freq_save == 0:
-            em.save_epoch(epoch, state.params, state.opt_state, meta)
-        em.write_info(f"{epoch}\t{intp_p:.4}\t{dblr_p:.4}\t{score:.4}"
-                      f"\t{best_psnr:.4}\n")
+        if is_main:
+            em.save_latest(state.params, state.opt_state, meta, best_flag)
+            if (epoch + 1) % cfg.epoch_freq_save == 0:
+                em.save_epoch(epoch, state.params, state.opt_state, meta)
+            em.write_info(f"{epoch}\t{intp_p:.4}\t{dblr_p:.4}\t{score:.4}"
+                          f"\t{best_psnr:.4}\n")
 
     print("-" * 20, "Training has been ended.", "-" * 20)
     print("best_PSNR of model:", best_psnr)

@@ -39,9 +39,14 @@ def make_mesh(data: int = 0, spatial: int = 1,
     return Mesh(arr, ("data", "spatial"))
 
 
-def shard_batch(mesh: Optional[Mesh], batch):
-    """Place a host batch with the leading dim sharded over 'data'."""
+def shard_batch(mesh: Optional[Mesh], batch, specs=None):
+    """Place a host batch on the mesh (default: dim 0 over 'data';
+    ``specs`` = per-leaf PartitionSpecs for anything else).
+
+    Multi-process: ``batch`` is this process's local shard; the returned
+    arrays are global (assembled via make_array_from_process_local_data).
+    """
     if mesh is None:
         return jax.device_put(batch)
-    sh = NamedSharding(mesh, P("data"))
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+    from demfi_tpu.parallel.distributed import global_batch_from_local
+    return global_batch_from_local(mesh, batch, specs)

@@ -141,15 +141,23 @@ def make_train_step(cfg: DeMFIConfig, model: DeMFINet,
         return jax.jit(step, donate_argnums=(0,))
 
     from jax.sharding import NamedSharding, PartitionSpec as P
-    axes = [a for a in ("data", "spatial") if a in mesh.axis_names]
-    data_axes = tuple(axes[:1]) or None
-    spatial = "spatial" if "spatial" in mesh.axis_names else None
-    batch_spec = P(data_axes, None, spatial, None, None)
+    frames_spec, t_spec = train_batch_specs(mesh)
     repl = NamedSharding(mesh, P())
     return jax.jit(
         step,
-        in_shardings=(repl, NamedSharding(mesh, batch_spec),
-                      NamedSharding(mesh, P(data_axes, None))),
+        in_shardings=(repl, NamedSharding(mesh, frames_spec),
+                      NamedSharding(mesh, t_spec)),
         out_shardings=(repl, repl),
         donate_argnums=(0,),
     )
+
+
+def train_batch_specs(mesh):
+    """(frames, t) PartitionSpecs the train step expects — loaders must
+    commit batches with exactly these (multi-process jit rejects any
+    mismatch between a committed arg sharding and in_shardings)."""
+    from jax.sharding import PartitionSpec as P
+    axes = [a for a in ("data", "spatial") if a in mesh.axis_names]
+    data_axes = tuple(axes[:1]) or None
+    spatial = "spatial" if "spatial" in mesh.axis_names else None
+    return (P(data_axes, None, spatial, None, None), P(data_axes, None))

@@ -1,0 +1,128 @@
+"""Multi-host (multi-process) training: 2 real OS processes, each with 4
+virtual CPU devices, joined via jax.distributed.initialize + gloo
+collectives, run ONE sharded train step over an 8-device global
+('data' x 'spatial') mesh — the CI stand-in for a TPU pod (SURVEY §2e
+rebuild row 1; reference is single-GPU, /root/reference/main.py:157-159).
+
+Also checks the TrainLoader's per-process batch sharding reproduces the
+single-process stream exactly.
+"""
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_WORKER = r"""
+import os, sys
+pid, n, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+sys.path.insert(0, sys.argv[4])
+
+from demfi_tpu.parallel import init_distributed, make_global_mesh, shard_batch
+
+got_pid, got_n = init_distributed(f"localhost:{port}", n, pid)
+assert (got_pid, got_n) == (pid, n), (got_pid, got_n)
+assert len(jax.devices()) == 4 * n
+
+import numpy as np
+from demfi_tpu.config import config_rb
+from demfi_tpu.models import make_model
+from demfi_tpu.train import create_train_state, make_train_step
+
+cfg = config_rb(1, 1, batch_size=4, patch_size=32)
+model = make_model(cfg)
+state, tx = create_train_state(cfg, model, jax.random.PRNGKey(0),
+                               sample_shape=(1, 4, 32, 32, 3))
+# host pytree: every process holds identical values (same PRNGKey), so the
+# jitted step may commit them to the replicated global sharding
+state = jax.device_get(state)
+
+mesh = make_global_mesh(4, 2)  # 'data' spans the process boundary
+assert mesh.devices.shape == (4, 2)
+step = make_train_step(cfg, model, tx, mesh=mesh)
+
+# deterministic per-process half of the global batch (2 of 4 samples)
+from demfi_tpu.train import train_batch_specs
+rng = np.random.RandomState(1000 + pid)
+frames = rng.uniform(-1, 1, (2, 9, 32, 32, 3)).astype(np.float32)
+tv = np.full((2, 1), 0.375, np.float32)
+gframes, gt = shard_batch(mesh, (frames, tv), train_batch_specs(mesh))
+assert gframes.shape == (4, 9, 32, 32, 3)  # global shape
+
+for _ in range(2):
+    state, m = step(state, gframes, gt)
+loss = float(m["total_loss"])
+assert np.isfinite(loss)
+print(f"MHLOSS {pid} {loss:.10f}", flush=True)
+"""
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.slow
+def test_two_process_train_step(tmp_path):
+    worker = tmp_path / "mh_worker.py"
+    worker.write_text(_WORKER)
+    port = str(_free_port())
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), str(p), "2", port, REPO],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env) for p in range(2)]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    losses = {}
+    for out, p in zip(outs, procs):
+        assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+        for line in out.splitlines():
+            if line.startswith("MHLOSS"):
+                _, pid, loss = line.split()
+                losses[int(pid)] = float(loss)
+    assert set(losses) == {0, 1}, outs
+    # gradient all-reduce makes the replicated update identical everywhere
+    assert losses[0] == losses[1], losses
+
+
+def test_loader_process_sharding_matches_global():
+    """Union of N processes' local batches == the single-process batches,
+    same order, same augmentation seeds."""
+    from demfi_tpu.data.pipeline import TrainLoader
+
+    class StubSample:
+        def __init__(self, frames, t):
+            self.frames, self.t_value = frames, t
+
+    class StubDataset:
+        def __len__(self):
+            return 13
+
+        def sample(self, idx, rng):
+            # depends on BOTH the index and the per-sample seed
+            aug = rng.random()
+            return StubSample(np.full((2, 2), idx + aug, np.float32),
+                              np.asarray([idx], np.float32))
+
+    ds = StubDataset()
+    single = list(TrainLoader(ds, 4, num_threads=1, seed=7).epoch(3))
+    p0 = list(TrainLoader(ds, 4, num_threads=1, seed=7,
+                          process_id=0, process_count=2).epoch(3))
+    p1 = list(TrainLoader(ds, 4, num_threads=1, seed=7,
+                          process_id=1, process_count=2).epoch(3))
+    assert len(single) == len(p0) == len(p1) == 3
+    for (gf, gt), (f0, t0), (f1, t1) in zip(single, p0, p1):
+        np.testing.assert_array_equal(gf, np.concatenate([f0, f1]))
+        np.testing.assert_array_equal(gt, np.concatenate([t0, t1]))
