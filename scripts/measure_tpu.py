@@ -11,6 +11,9 @@ Usage: python scripts/measure_tpu.py [--res 352x640] [--out report.json]
 """
 from __future__ import annotations
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import json
 import time
@@ -24,42 +27,88 @@ def main():
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--out", type=str, default="")
     ap.add_argument("--skip-pallas", action="store_true")
+    ap.add_argument("--sections", type=str, default="basic,ops,pallas,model",
+                    help="comma list of: basic, ops, pallas, model")
+    ap.add_argument("--dtypes", type=str, default="bfloat16,float32")
+    ap.add_argument("--merge", action="store_true",
+                    help="start from the existing --out file if present")
     args = ap.parse_args()
     h, w = (int(x) for x in args.res.split("x"))
 
     import jax
     import jax.numpy as jnp
 
+    sections = set(args.sections.split(","))
     report = {"res": f"{h}x{w}", "backend": jax.default_backend(),
               "device": str(jax.devices()[0])}
+    if args.merge and args.out:
+        try:
+            with open(args.out) as f:
+                prev = json.load(f)
+            if prev.get("res") == report["res"]:
+                report = prev
+        except Exception:
+            pass
     rng = np.random.RandomState(0)
 
-    def scalar_time(fn, *a, n=args.iters, floor=0.0):
-        g = jax.jit(lambda *a: jnp.sum(jnp.asarray(
-            jax.tree_util.tree_leaves(fn(*a))[0], jnp.float32)))
+    import sys as _s
+
+    def put(key, val):
+        report[key] = val
+        print(f"  {key} = {val}", flush=True)
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(report, f, indent=1)
+
+    def scalar_time(fn, *a, n=args.iters, floor=0.0, inner=1):
+        """Time fn via an on-device scalar reduction.
+
+        ``inner`` repeats fn inside ONE jitted program (first arg perturbed
+        per repeat to defeat CSE) so ops cheaper than the dispatch floor
+        still measure: per-op time = (wall - floor) / inner."""
+        def body(*a):
+            s = jnp.float32(0)
+            for i in range(inner):
+                a0 = a[0] + jnp.asarray(i, a[0].dtype) * 1e-6 if inner > 1 else a[0]
+                s = s + jnp.sum(jnp.asarray(
+                    jax.tree_util.tree_leaves(fn(a0, *a[1:]))[0], jnp.float32))
+            return s
+        g = jax.jit(body)
         float(g(*a))
         t0 = time.time()
         for _ in range(n):
             float(g(*a))
-        return max((time.time() - t0) / n - floor, 0.0)
+        return max((time.time() - t0) / n - floor, 1e-9) / inner
 
     # 1. latency floor + tunnel bandwidth
     x_small = jnp.ones((8, 128))
     floor = scalar_time(lambda x: x + 1, x_small)
-    report["dispatch_floor_ms"] = floor * 1000
+    put("dispatch_floor_ms", floor * 1000)
+    if "basic" not in sections:
+        pass  # floor still needed by later sections
 
-    big = jnp.ones((4096, 4096))  # 64 MB
-    t0 = time.time()
-    for _ in range(3):
-        _ = np.asarray(jax.jit(lambda x: x * 2)(big))
-    bw = 64.0 / ((time.time() - t0) / 3)
-    report["tunnel_readback_MBps"] = bw
+    if "basic" in sections:
+      big = jnp.ones((4096, 4096))  # 64 MB
+      t0 = time.time()
+      for _ in range(3):
+          _ = np.asarray(jax.jit(lambda x: x * 2)(big))
+      bw = 64.0 / ((time.time() - t0) / 3)
+      put("tunnel_readback_MBps", bw)
 
-    # MXU sanity: big matmul flops
-    a = jnp.ones((4096, 4096), jnp.bfloat16)
-    dt = scalar_time(lambda a: jnp.dot(a, a, preferred_element_type=jnp.float32),
-                     a, floor=floor)
-    report["bf16_4k_matmul_TFLOPs"] = 2 * 4096 ** 3 / dt / 1e12
+    if "basic" in sections:
+      # MXU sanity: chain of 32 bf16 4k matmuls (data dependence defeats
+      # CSE; a single matmul is far below the dispatch floor on-chip)
+      a = jnp.full((4096, 4096), 1e-3, jnp.bfloat16)
+
+      def matmul_chain(a):
+          x = a
+          for _ in range(32):
+              x = jnp.dot(x, a, preferred_element_type=jnp.float32
+                          ).astype(jnp.bfloat16) * jnp.bfloat16(2.0 ** -10)
+          return x
+
+      dt = scalar_time(matmul_chain, a, floor=floor)
+      put("bf16_4k_matmul_TFLOPs", 32 * 2 * 4096 ** 3 / dt / 1e12)
 
     # 2. warp ops: XLA vs pallas
     import os
@@ -67,19 +116,24 @@ def main():
     flo = jnp.asarray((rng.randn(1, h, w, 2) * 5).astype(np.float32))
     x2 = jnp.asarray(rng.randn(1, h, w, 2).astype(np.float32))
 
+    _prior_no_pallas = os.environ.get("DEMFI_NO_PALLAS")
     os.environ["DEMFI_NO_PALLAS"] = "1"
     import demfi_tpu.ops.warp as W
-    report["xla_bwarp64_ms"] = scalar_time(W.bwarp, x64, flo,
-                                           floor=floor) * 1000
-    report["xla_fwarp2_ms"] = scalar_time(W.fwarp, x2, flo,
-                                          floor=floor) * 1000
-    report["xla_abs64_ms"] = scalar_time(
+    if "ops" in sections:
+      put("xla_bwarp64_ms", scalar_time(W.bwarp, x64, flo,
+                                    floor=floor, inner=4) * 1000)
+      put("xla_fwarp2_ms", scalar_time(W.fwarp, x2, flo,
+                                   floor=floor, inner=4) * 1000)
+      put("xla_abs64_ms", scalar_time(
         W.bilinear_sample_abs, x64,
         jnp.asarray((rng.randn(1, h, w, 2) * 8 + 4).astype(np.float32)),
-        floor=floor) * 1000
-    del os.environ["DEMFI_NO_PALLAS"]
+        floor=floor, inner=4) * 1000)
+    if _prior_no_pallas is None:
+        del os.environ["DEMFI_NO_PALLAS"]
+    else:
+        os.environ["DEMFI_NO_PALLAS"] = _prior_no_pallas
 
-    if not args.skip_pallas:
+    if "pallas" in sections and not args.skip_pallas:
       try:
         from demfi_tpu.ops.pallas_kernels import (
             bwarp_tpu, bilinear_sample_abs_tpu, fwarp_tpu)
@@ -92,21 +146,21 @@ def main():
         wanta = np.asarray(W.bilinear_sample_abs(x64, coords_abs))
         del os.environ["DEMFI_NO_PALLAS"]
         got = np.asarray(bwarp_tpu(x64, flo))
-        report["pallas_bwarp_maxerr"] = float(np.abs(got - want).max())
+        put("pallas_bwarp_maxerr", float(np.abs(got - want).max()))
         gotf, gotn = fwarp_tpu(x2, flo)
-        report["pallas_fwarp_maxerr"] = float(
-            np.abs(np.asarray(gotf) - wantf).max())
+        put("pallas_fwarp_maxerr", float(
+            np.abs(np.asarray(gotf) - wantf).max()))
         gota = np.asarray(bilinear_sample_abs_tpu(x64, coords_abs))
-        report["pallas_abs_maxerr"] = float(np.abs(gota - wanta).max())
+        put("pallas_abs_maxerr", float(np.abs(gota - wanta).max()))
 
-        report["pallas_bwarp64_ms"] = scalar_time(
-            bwarp_tpu, x64, flo, floor=floor) * 1000
-        report["pallas_fwarp2_ms"] = scalar_time(
-            fwarp_tpu, x2, flo, floor=floor) * 1000
-        report["pallas_abs64_ms"] = scalar_time(
-            bilinear_sample_abs_tpu, x64, coords_abs, floor=floor) * 1000
+        put("pallas_bwarp64_ms", scalar_time(
+            bwarp_tpu, x64, flo, floor=floor, inner=4) * 1000)
+        put("pallas_fwarp2_ms", scalar_time(
+            fwarp_tpu, x2, flo, floor=floor, inner=4) * 1000)
+        put("pallas_abs64_ms", scalar_time(
+            bilinear_sample_abs_tpu, x64, coords_abs, floor=floor, inner=4) * 1000)
       except Exception as e:  # keep the rest of the report on failure
-        report["pallas_error"] = f"{type(e).__name__}: {str(e)[:300]}"
+        put("pallas_error", f"{type(e).__name__}: {str(e)[:300]}")
         os.environ["DEMFI_NO_PALLAS"] = "1"
         jax.clear_caches()
 
@@ -116,16 +170,17 @@ def main():
 
     frames = jnp.asarray(rng.uniform(-1, 1, (1, 4, h, w, 3)).astype(np.float32))
     ts7 = jnp.asarray(np.linspace(1 / 8, 7 / 8, 7, dtype=np.float32))
-    for dt_name in ("bfloat16", "float32"):
+    model_dtypes = (args.dtypes.split(",") if "model" in sections else ())
+    for dt_name in model_dtypes:
         cfg = config_rb(5, 3, compute_dtype=dt_name)
         model = make_model(cfg)
         params = model.init(jax.random.PRNGKey(0), frames[:, :, :64, :64],
                             jnp.zeros((1, 1)), num_update=1)
         tag = "bf16" if dt_name == "bfloat16" else "f32"
 
-        report[f"extract_{tag}_ms"] = scalar_time(
+        put(f"extract_{tag}_ms", scalar_time(
             lambda p, f: model.apply(p, f, method=model.extract),
-            params, frames, floor=floor) * 1000
+            params, frames, floor=floor) * 1000)
 
         def window(p, f, ts):
             ctx = model.apply(p, f, method=model.extract)
@@ -136,8 +191,8 @@ def main():
             return out.st_final
 
         dtw = scalar_time(window, params, frames, ts7, floor=floor)
-        report[f"window_x8_{tag}_ms"] = dtw * 1000
-        report[f"fps_{tag}"] = 7.0 / dtw
+        put(f"window_x8_{tag}_ms", dtw * 1000)
+        put(f"fps_{tag}", 7.0 / dtw)
 
     print(json.dumps(report, indent=1))
     if args.out:

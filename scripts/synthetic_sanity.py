@@ -11,6 +11,9 @@ Usage: python scripts/synthetic_sanity.py [--steps 150] [--root DIR]
 """
 from __future__ import annotations
 
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import argparse
 import math
 import os
