@@ -1,32 +1,39 @@
 """Pallas TPU kernels for the irregular-memory warping ops.
 
-XLA lowers arbitrary gathers to near-scalar loops on TPU (~2 s for one
-64-channel 640x352 backward warp), and Mosaic's native dynamic gather is
-also element-serial — so the bilinear gather at the heart of ``bwarp`` and
-the FGAC sampler is reformulated onto the MXU:
+XLA lowers arbitrary gathers to near-scalar loops on TPU, and Mosaic's
+native dynamic gather is element-serial — so the bilinear gather at the
+heart of ``bwarp`` and the FGAC sampler is reformulated onto the MXU:
 
   For a 128-column output tile, the horizontal bilinear interpolation at
   per-pixel coordinates is a matmul with a banded soft-one-hot matrix
   A[(row, lane), src_col] = wx0*[src == x0] + wx1*[src == x0+1] built with
-  two vector compares. The vertical dimension is handled by sweeping
-  candidate 8-row source slabs (DMA'd on demand, predicated on any pixel
-  actually landing in the slab) and accumulating
-      out += wrow * (A_s @ slab_row[src_cols, C])
-  per active source row. Cost therefore scales with the *actual* vertical
-  span of the flow, and all heavy lifting is 128xC matmuls.
+  two vector compares. The vertical dimension is a sweep over candidate
+  8-row source slabs; per active source row the kernel accumulates
+      out += wrow * (A_s @ slab_row[src_cols, C]).
+  All heavy lifting is 128xC matmuls.
+
+Pipelining (v2): the slab sweep is the innermost GRID axis ("arbitrary"
+dimension semantics) and each slab arrives as three 128-column BlockSpec
+views of the padded image — Pallas' automatic pipeline issues the copies.
+v1 used manual ``pltpu.make_async_copy`` predicated on slab hits; the
+development TPU's AOT compile helper rejects ANY kernel containing a
+manual DMA (even a trivial static one — bisected 2026-08-16), and the
+predication only saved bandwidth, not compute, so the sweep now fetches
+its full static window and predicates the matmuls only. Cost scales with
+the window (vr), not the image; pick vr to cover realistic motion.
 
 Semantics: zero padding outside the image (grid_sample 'zeros',
 /root/reference/DeMFInet.py:508, 757). Taps farther than the static
-window (vr rows vertically / +-128 px horizontally in relative mode)
-contribute zero — callers pick vr to cover realistic motion; the exact
-XLA path in ops/warp.py remains the reference semantics.
+window (vr rows vertically / +-127 px horizontally in relative mode)
+contribute zero — the runtime motion guard in ops/warp.py falls back to
+the exact XLA path when flows exceed the window.
 
 Addressing modes:
   relative=True  : source rows/cols cluster around the output pixel
                    (bwarp). Window = output band +- vr rows, +-128 cols.
   relative=False : coordinates cluster near the image origin (the FGAC
                    absolute-coordinate quirk, DeMFInet.py:413-419).
-                   Window = rows [-2, vr), cols [-128, 256).
+                   Window = rows [-8, span), cols [-128, 256).
 """
 from __future__ import annotations
 
@@ -45,15 +52,18 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _warp_mm_kernel(py_ref, px_ref, img_ref, out_ref, slab, sem, *,
-                    C: int, H: int, W: int, n_slabs: int,
-                    pad_rows: int, pad_cols: int, block_rows: int,
-                    relative: bool, vr: int, acc_dtype):
-    b = pl.program_id(0)
+def _gather_kernel(py_ref, px_ref, i0_ref, i1_ref, i2_ref, out_ref, *,
+                   C: int, block_rows: int, slab_rows: int, relative: bool,
+                   vr_al: int, acc_dtype):
     rb = pl.program_id(1)
     ct = pl.program_id(2)
+    q = pl.program_id(3)
     r0 = rb * block_rows
     cs = ct * LANES
+
+    @pl.when(q == 0)
+    def _():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
 
     py = py_ref[0]   # [block_rows, 128] absolute y coords
     px = px_ref[0]
@@ -64,83 +74,74 @@ def _warp_mm_kernel(py_ref, px_ref, img_ref, out_ref, slab, sem, *,
     y0 = y0f.astype(jnp.int32)
     x0 = x0f.astype(jnp.int32)
 
-    # window start in image coords, aligned to 8 rows
-    ws = (((r0 - vr - 1 + pad_rows) // 8) * 8 - pad_rows) if relative else -8
-    # column window start (image coords): 3 source tiles of 128
+    # image coords of this slab's first row / of col view 0's first col
+    slab_lo = (r0 - vr_al + slab_rows * q) if relative \
+        else (slab_rows * q - slab_rows)
     cw = (cs - LANES) if relative else -LANES
 
-    # Soft interpolation matrices, one per source tile s:
-    # A_s[(i, l), k] = (1-fx)*[k == x0 - base_s] + fx*[k == x0+1 - base_s]
-    k_iota = jax.lax.broadcasted_iota(
-        jnp.int32, (block_rows, LANES, LANES), 2)
-    a_mats = []
-    for s in range(3):
-        base = cw + s * LANES
-        lidx = (x0 - base)[:, :, None]
-        a = (jnp.where(k_iota == lidx, 1.0 - fx[:, :, None], 0.0)
-             + jnp.where(k_iota == lidx + 1, fx[:, :, None], 0.0))
-        a_mats.append(a.reshape(block_rows * LANES, LANES).astype(acc_dtype))
+    in0 = (y0 >= slab_lo) & (y0 < slab_lo + slab_rows)
+    in1 = (y0 + 1 >= slab_lo) & (y0 + 1 < slab_lo + slab_rows)
 
-    out_ref[0] = jnp.zeros_like(out_ref[0])
+    @pl.when(jnp.any(in0 | in1))
+    def _():
+        # Soft interpolation matrices, one per 128-col source view s,
+        # built lazily on first use (VMEM: one [BR*128,128] live at a time)
+        # A_s[(i, l), k] = (1-fx)*[k == x0 - base_s] + fx*[k == x0+1 - base_s]
+        k_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (block_rows, LANES, LANES), 2)
 
-    def slab_body(q, _):
-        slab_lo = ws + q * 8  # image row of slab row 0
-        in0 = (y0 >= slab_lo) & (y0 < slab_lo + 8)
-        in1 = (y0 + 1 >= slab_lo) & (y0 + 1 < slab_lo + 8)
+        def a_mat(s):
+            base = cw + s * LANES
+            lidx = (x0 - base)[:, :, None]
+            a = (jnp.where(k_iota == lidx, 1.0 - fx[:, :, None], 0.0)
+                 + jnp.where(k_iota == lidx + 1, fx[:, :, None], 0.0))
+            return a.reshape(block_rows * LANES, LANES).astype(acc_dtype)
 
-        @pl.when(jnp.any(in0 | in1))
-        def _():
-            dma = pltpu.make_async_copy(
-                img_ref.at[b,
-                           pl.ds(pl.multiple_of(slab_lo + pad_rows, 8), 8),
-                           pl.ds(pl.multiple_of(cw + pad_cols, LANES),
-                                 3 * LANES), :],
-                slab, sem)
-            dma.start()
-            dma.wait()
-            # process source rows in pairs: one [*, 2C] matmul serves two
-            # rows (full MXU width at C=64)
-            for o in range(0, 8, 2):
-                rows = (slab_lo + o, slab_lo + o + 1)
-                wrows = []
-                used = None
-                for sr in rows:
-                    h0 = y0 == sr
-                    h1 = y0 + 1 == sr
-                    wrows.append(jnp.where(h0, 1.0 - fy, 0.0)
-                                 + jnp.where(h1, fy, 0.0))
-                    u = h0 | h1
-                    used = u if used is None else (used | u)
+        views = (i0_ref, i1_ref, i2_ref)
+        # process source rows in pairs: one [*, 2C] matmul serves two rows
+        # (full MXU width at C=64)
+        for o in range(0, slab_rows, 2):
+            rows = (slab_lo + o, slab_lo + o + 1)
+            wrows = []
+            used = None
+            for sr in rows:
+                h0 = y0 == sr
+                h1 = y0 + 1 == sr
+                wrows.append(jnp.where(h0, 1.0 - fy, 0.0)
+                             + jnp.where(h1, fy, 0.0))
+                u = h0 | h1
+                used = u if used is None else (used | u)
 
-                @pl.when(jnp.any(used))
-                def _():
-                    for s in range(3):
-                        # does any pixel read from this source tile?
-                        near = (x0 >= cw + s * LANES - 1) & \
-                               (x0 < cw + (s + 1) * LANES)
-                        @pl.when(jnp.any(used & near))
-                        def _():
-                            pair = jnp.concatenate(
-                                [slab[o, s * LANES:(s + 1) * LANES, :],
-                                 slab[o + 1, s * LANES:(s + 1) * LANES, :]],
-                                axis=-1)
-                            g = jnp.dot(a_mats[s],
-                                        pair.astype(acc_dtype),
-                                        preferred_element_type=acc_dtype)
-                            g = g.reshape(block_rows, LANES, 2 * C)
-                            out_ref[0] += (
-                                g[..., :C] * wrows[0][:, :, None]
-                                + g[..., C:] * wrows[1][:, :, None]
-                            ).astype(out_ref.dtype)
+            @pl.when(jnp.any(used))
+            def _():
+                for s in range(3):
+                    # does any pixel read from this source view?
+                    near = (x0 >= cw + s * LANES - 1) & \
+                           (x0 < cw + (s + 1) * LANES)
 
-    jax.lax.fori_loop(0, n_slabs, slab_body, None)
+                    @pl.when(jnp.any(used & near))
+                    def _():
+                        pair = jnp.concatenate(
+                            [views[s][0, o], views[s][0, o + 1]], axis=-1)
+                        # HIGHEST: f32 MXU passes — default precision
+                        # rounds the interpolation weights to bf16
+                        # (measured 1e-2 error on-chip)
+                        g = jnp.dot(a_mat(s), pair.astype(acc_dtype),
+                                    preferred_element_type=acc_dtype,
+                                    precision=jax.lax.Precision.HIGHEST)
+                        g = g.reshape(block_rows, LANES, 2 * C)
+                        out_ref[0] += (
+                            g[..., :C] * wrows[0][:, :, None]
+                            + g[..., C:] * wrows[1][:, :, None]
+                        ).astype(out_ref.dtype)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("relative", "vr", "block_rows", "acc_dtype"))
+    jax.jit, static_argnames=("relative", "vr", "block_rows", "slab_rows",
+                              "acc_dtype"))
 def bilinear_gather_tpu(img: jnp.ndarray, coords: jnp.ndarray, *,
                         relative: bool = True, vr: int = 64,
-                        block_rows: int = 16,
+                        block_rows: int = 32, slab_rows: int = 32,
                         acc_dtype=jnp.float32
                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Bilinear gather of img [B,H,W,C] at absolute pixel coords
@@ -155,54 +156,72 @@ def bilinear_gather_tpu(img: jnp.ndarray, coords: jnp.ndarray, *,
     cp = _ceil_to(max(c, 8), 8)
     wp_out = _ceil_to(w, LANES)
     hp_out = _ceil_to(h, block_rows)
-    # taps beyond the image height are out-of-bounds zeros anyway
     vr = min(vr, hp_out)
-    pad_rows = _ceil_to(vr + 24, 8)
-    pad_cols = LANES
+    sr = slab_rows
+    assert block_rows % sr == 0 or sr % block_rows == 0
+    vr_al = _ceil_to(vr + 2, sr if block_rows % sr == 0 else block_rows)
+    if block_rows % sr:
+        sr = block_rows  # slabs can't exceed the output block stride
+    vr_al = _ceil_to(vr_al, sr)
+
+    if relative:
+        pad_top = vr_al
+        n_slabs = (2 * vr_al + block_rows) // sr
+        pad_bot = vr_al + (hp_out - h)
+        row_map = lambda r_, q: (block_rows // sr) * r_ + q
+    else:
+        pad_top = sr
+        span_al = _ceil_to(vr + 2, sr)
+        n_slabs = (span_al + sr) // sr
+        # sweep rows [-sr, span_al): keep indices in range even when the
+        # span exceeds the image
+        pad_bot = max(sr * n_slabs - pad_top - h, hp_out - h)
+        row_map = lambda r_, q: q
 
     imgp = jnp.pad(img.astype(jnp.float32),
-                   ((0, 0), (pad_rows, pad_rows + hp_out - h),
-                    (pad_cols, pad_cols + wp_out - w), (0, cp - c)))
+                   ((0, 0), (pad_top, pad_bot),
+                    (LANES, LANES + wp_out - w), (0, cp - c)))
 
     pxp = jnp.pad(px, ((0, 0), (0, hp_out - h), (0, wp_out - w)),
                   constant_values=-1e6)
     pyp = jnp.pad(py, ((0, 0), (0, hp_out - h), (0, wp_out - w)),
                   constant_values=-1e6)
 
-    # number of candidate 8-row slabs the sweep visits
-    if relative:
-        n_slabs = (2 * vr + 2 + block_rows) // 8 + 2
-    else:
-        n_slabs = (vr + block_rows) // 8 + 2
-    grid = (b, hp_out // block_rows, wp_out // LANES)
+    grid = (b, hp_out // block_rows, wp_out // LANES, n_slabs)
 
     kernel = functools.partial(
-        _warp_mm_kernel, C=cp, H=h, W=w, n_slabs=n_slabs,
-        pad_rows=pad_rows, pad_cols=pad_cols, block_rows=block_rows,
-        relative=relative, vr=vr, acc_dtype=acc_dtype)
+        _gather_kernel, C=cp, block_rows=block_rows, slab_rows=sr,
+        relative=relative, vr_al=vr_al, acc_dtype=acc_dtype)
+
+    coord_spec = pl.BlockSpec((1, block_rows, LANES),
+                              lambda b_, r_, c_, q_: (b_, r_, c_),
+                              memory_space=pltpu.VMEM)
+
+    def img_spec(s):
+        if relative:
+            return pl.BlockSpec(
+                (1, sr, LANES, cp),
+                lambda b_, r_, c_, q_, s=s: (b_, row_map(r_, q_), c_ + s, 0),
+                memory_space=pltpu.VMEM)
+        return pl.BlockSpec(
+            (1, sr, LANES, cp),
+            lambda b_, r_, c_, q_, s=s: (b_, row_map(r_, q_), s, 0),
+            memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, hp_out, wp_out, cp),
                                        jnp.float32),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, block_rows, LANES),
-                         lambda b_, r_, c_: (b_, r_, c_),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_rows, LANES),
-                         lambda b_, r_, c_: (b_, r_, c_),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=[coord_spec, coord_spec,
+                  img_spec(0), img_spec(1), img_spec(2)],
         out_specs=pl.BlockSpec((1, block_rows, LANES, cp),
-                               lambda b_, r_, c_: (b_, r_, c_, 0),
+                               lambda b_, r_, c_, q_: (b_, r_, c_, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((8, 3 * LANES, cp), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
-    )(pyp, pxp, imgp)
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+    )(pyp, pxp, imgp, imgp, imgp)
 
     vals = out[:, :h, :w, :c].astype(dtype)
 
@@ -225,7 +244,7 @@ def bilinear_gather_tpu(img: jnp.ndarray, coords: jnp.ndarray, *,
 
 def bwarp_tpu(x: jnp.ndarray, flow: jnp.ndarray, *, vr: int = 64) -> jnp.ndarray:
     """TPU fast path for demfi_tpu.ops.bwarp (same semantics; taps farther
-    than vr rows vertically or 128 px horizontally contribute zero)."""
+    than vr rows vertically or 127 px horizontally contribute zero)."""
     b, h, w, c = x.shape
     gx = jnp.arange(w, dtype=jnp.float32)[None, None, :]
     gy = jnp.arange(h, dtype=jnp.float32)[None, :, None]
@@ -248,50 +267,33 @@ def bilinear_sample_abs_tpu(img: jnp.ndarray, coords: jnp.ndarray, *,
 # ---------------------------------------------------------------------------
 # Forward warp (scatter-add) — CFR's fwarp (DeMFInet.py:625-729)
 # ---------------------------------------------------------------------------
-def _fwarp_mm_kernel(ty_ref, tx_ref, val_ref, out_ref, slab_v, slab_y,
-                     slab_x, sem_v, sem_y, sem_x, *,
-                     C: int, n_slabs: int, pad_rows: int, pad_cols: int,
-                     block_rows: int, vr: int):
-    """Output-stationary scatter: for each output block, sweep candidate
-    *source* slabs; each source row's pixels are split by target row with
-    Gaussian row weights (separable, get_gaussian_weights in the
-    reference), then routed to target columns by a transposed banded
-    soft-one-hot matmul."""
-    b = pl.program_id(0)
+def _fwarp_kernel(ty0_ref, ty1_ref, ty2_ref, tx0_ref, tx1_ref, tx2_ref,
+                  v0_ref, v1_ref, v2_ref, out_ref, *,
+                  C: int, block_rows: int, vr_al: int):
+    """Output-stationary scatter: sweep candidate *source* slabs (grid
+    axis); each source row's pixels are split by target row with Gaussian
+    row weights (separable, get_gaussian_weights in the reference), then
+    routed to target columns by a transposed banded soft-one-hot matmul."""
     rb = pl.program_id(1)
     ct = pl.program_id(2)
+    q = pl.program_id(3)
     r0 = rb * block_rows
     cs = ct * LANES
 
-    ws = ((r0 - vr - 1 + pad_rows) // 8) * 8 - pad_rows
-    cw = cs - LANES
+    @pl.when(q == 0)
+    def _():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
 
-    out_ref[0] = jnp.zeros_like(out_ref[0])
     row_i = jax.lax.broadcasted_iota(jnp.int32, (block_rows, 1, 1), 0)
-    k_iota = jax.lax.broadcasted_iota(jnp.int32, (3 * LANES, LANES), 1)
+    k_iota = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
 
-    def slab_body(q, _):
-        slab_lo = ws + q * 8
+    ty_views = (ty0_ref, ty1_ref, ty2_ref)
+    tx_views = (tx0_ref, tx1_ref, tx2_ref)
+    v_views = (v0_ref, v1_ref, v2_ref)
 
-        start_r = pl.multiple_of(slab_lo + pad_rows, 8)
-        start_c = pl.multiple_of(cw + pad_cols, LANES)
-        d1 = pltpu.make_async_copy(
-            ty_ref.at[b, pl.ds(start_r, 8), pl.ds(start_c, 3 * LANES)],
-            slab_y, sem_y)
-        d2 = pltpu.make_async_copy(
-            tx_ref.at[b, pl.ds(start_r, 8), pl.ds(start_c, 3 * LANES)],
-            slab_x, sem_x)
-        d3 = pltpu.make_async_copy(
-            val_ref.at[b, pl.ds(start_r, 8), pl.ds(start_c, 3 * LANES), :],
-            slab_v, sem_v)
-        d1.start()
-        d2.start()
-        d3.start()
-        d1.wait()
-        d2.wait()
-        d3.wait()
-        sty = slab_y[:, :]           # [8, 384] target y (absolute, float)
-        stx = slab_x[:, :]
+    for s in range(3):
+        sty = ty_views[s][0]        # [8, 128] target y (absolute, float)
+        stx = tx_views[s][0]
         y0 = jnp.floor(sty)
         fyw = sty - y0
         x0 = jnp.floor(stx)
@@ -299,42 +301,39 @@ def _fwarp_mm_kernel(ty_ref, tx_ref, val_ref, out_ref, slab_v, slab_y,
         y0i = y0.astype(jnp.int32)
         x0i = x0.astype(jnp.int32)
         # Gaussian corner weights (separable): exp(-(f-t)^2) per axis
-        wy = [jnp.exp(-(fyw ** 2)), jnp.exp(-((fyw - 1.0) ** 2))]
-        wx = [jnp.exp(-(fxw ** 2)), jnp.exp(-((fxw - 1.0) ** 2))]
+        wy = (jnp.exp(-(fyw ** 2)), jnp.exp(-((fyw - 1.0) ** 2)))
+        wx = (jnp.exp(-(fxw ** 2)), jnp.exp(-((fxw - 1.0) ** 2)))
 
-        # any source pixel in this slab targeting our block?
+        # any source pixel in this view targeting our block?
         hit_any = ((y0i >= r0 - 1) & (y0i < r0 + block_rows)
                    & (x0i >= cs - 1) & (x0i < cs + LANES))
 
         @pl.when(jnp.any(hit_any))
         def _():
-            # transposed soft-one-hot: rows = source cols (3 tiles
-            # flattened), cols = our 128 output cols
             for o in range(8):
-                y0r = y0i[o][None, :]      # [1, 384]
+                y0r = y0i[o][None, :]      # [1, 128]
                 row_hit = ((y0r >= r0 - 1) & (y0r < r0 + block_rows))
 
                 @pl.when(jnp.any(row_hit))
                 def _():
                     # route columns: A[src, dst] with both x taps
-                    lx = (x0i[o][:, None] - cs)          # [384, 1]
+                    lx = (x0i[o][:, None] - cs)          # [128, 1]
                     a = (jnp.where(k_iota == lx, wx[0][o][:, None], 0.0)
                          + jnp.where(k_iota == lx + 1,
                                      wx[1][o][:, None], 0.0))
                     # split source pixels by target row with y-tap weights
                     wr = (jnp.where(y0r == r0 + row_i, wy[0][o], 0.0)
                           + jnp.where(y0r + 1 == r0 + row_i,
-                                      wy[1][o], 0.0))  # [block_rows,1,384]
-                    v = slab_v[o]                        # [384, C]
-                    # [block_rows, 384, C] masked values -> matmul over src
-                    mv = wr.reshape(block_rows, 3 * LANES, 1) * v[None]
+                                      wy[1][o], 0.0))  # [block_rows,1,128]
+                    v = v_views[s][0, o]                 # [128, C]
+                    # [block_rows, 128, C] masked values -> matmul over src
+                    mv = wr.reshape(block_rows, LANES, 1) * v[None]
                     mv = mv.transpose(0, 2, 1).reshape(
-                        block_rows * C, 3 * LANES)
-                    g = jnp.dot(mv, a, preferred_element_type=jnp.float32)
+                        block_rows * C, LANES)
+                    g = jnp.dot(mv, a, preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
                     g = g.reshape(block_rows, C, LANES).transpose(0, 2, 1)
                     out_ref[0] += g
-
-    jax.lax.fori_loop(0, n_slabs, slab_body, None)
 
 
 @functools.partial(jax.jit, static_argnames=("vr", "block_rows"))
@@ -354,47 +353,58 @@ def fwarp_tpu(img: jnp.ndarray, flo: jnp.ndarray, *, vr: int = 64,
     wp = _ceil_to(w, LANES)
     hp = _ceil_to(h, block_rows)
     vr = min(vr, hp)
-    pad_rows = _ceil_to(vr + 24, 8)
-    pad_cols = LANES
+    vr_al = _ceil_to(vr + 2, 8)
+    pad_top = vr_al
+    pad_bot = vr_al + (hp - h)
+    n_slabs = (2 * vr_al + block_rows) // 8
 
     # fuse the weight-normalizer as an extra ones channel
     vals = jnp.concatenate(
         [img.astype(jnp.float32), jnp.ones((b, h, w, 1), jnp.float32)],
         axis=-1)
-    vals = jnp.pad(vals, ((0, 0), (pad_rows, pad_rows + hp - h),
-                          (pad_cols, pad_cols + wp - w), (0, cp - c - 1)))
+    vals = jnp.pad(vals, ((0, 0), (pad_top, pad_bot),
+                          (LANES, LANES + wp - w), (0, cp - c - 1)))
     # pad targets with -1e6 so padded source pixels never hit any block
-    typ = jnp.pad(ty, ((0, 0), (pad_rows, pad_rows + hp - h),
-                       (pad_cols, pad_cols + wp - w)),
+    typ = jnp.pad(ty, ((0, 0), (pad_top, pad_bot),
+                       (LANES, LANES + wp - w)),
                   constant_values=-1e6)
-    txp = jnp.pad(tx, ((0, 0), (pad_rows, pad_rows + hp - h),
-                       (pad_cols, pad_cols + wp - w)),
+    txp = jnp.pad(tx, ((0, 0), (pad_top, pad_bot),
+                       (LANES, LANES + wp - w)),
                   constant_values=-1e6)
 
-    n_slabs = (2 * vr + 2 + block_rows) // 8 + 2
-    grid = (b, hp // block_rows, wp // LANES)
+    grid = (b, hp // block_rows, wp // LANES, n_slabs)
 
     kernel = functools.partial(
-        _fwarp_mm_kernel, C=cp, n_slabs=n_slabs, pad_rows=pad_rows,
-        pad_cols=pad_cols, block_rows=block_rows, vr=vr)
+        _fwarp_kernel, C=cp, block_rows=block_rows, vr_al=vr_al)
+
+    def view2d(s):
+        return pl.BlockSpec(
+            (1, 8, LANES),
+            lambda b_, r_, c_, q_, s=s: (b_, (block_rows // 8) * r_ + q_,
+                                         c_ + s),
+            memory_space=pltpu.VMEM)
+
+    def view3d(s):
+        return pl.BlockSpec(
+            (1, 8, LANES, cp),
+            lambda b_, r_, c_, q_, s=s: (b_, (block_rows // 8) * r_ + q_,
+                                         c_ + s, 0),
+            memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b, hp, wp, cp), jnp.float32),
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        in_specs=[view2d(0), view2d(1), view2d(2),
+                  view2d(0), view2d(1), view2d(2),
+                  view3d(0), view3d(1), view3d(2)],
         out_specs=pl.BlockSpec((1, block_rows, LANES, cp),
-                               lambda b_, r_, c_: (b_, r_, c_, 0),
+                               lambda b_, r_, c_, q_: (b_, r_, c_, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((8, 3 * LANES, cp), jnp.float32),
-            pltpu.VMEM((8, 3 * LANES), jnp.float32),
-            pltpu.VMEM((8, 3 * LANES), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-        ],
-    )(typ, txp, vals)
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+    )(typ, typ, typ, txp, txp, txp, vals, vals, vals)
 
     out = out[:, :h, :w]
     return (out[..., :c].astype(img.dtype),

@@ -33,14 +33,35 @@ import jax
 import jax.numpy as jnp
 
 
-def _use_pallas() -> bool:
-    """Use the Pallas fast path when tracing for TPU (overridable)."""
-    if os.environ.get("DEMFI_NO_PALLAS"):
-        return False
+def _on_tpu() -> bool:
     try:
         return jax.default_backend() == "tpu"
     except RuntimeError:
         return False
+
+
+def _use_pallas() -> bool:
+    """Pallas fast paths are OPT-IN after on-chip measurement (v5e,
+    352x640 B=7, breakdown_*.json): the fused/quad XLA formulations beat
+    the Pallas kernels on every op —
+      bwarp64: 53 ms quad  vs 157 ms pallas vs  76 ms 4-tap XLA
+      bwarp3 : 13 ms quad  vs 164 ms pallas vs  51 ms 4-tap XLA
+      fwarp2 : 120 ms fused vs 216 ms pallas vs 355 ms 4-tap XLA
+    The kernels stay validated (compiled-mode parity vs XLA) for
+    future tuning: enable with DEMFI_PALLAS_GATHER / DEMFI_PALLAS_SCATTER.
+    DEMFI_NO_PALLAS=1 also forces the plain 4-tap XLA paths everywhere
+    (used by tests as the semantic reference)."""
+    if os.environ.get("DEMFI_NO_PALLAS"):
+        return False
+    return _on_tpu()
+
+
+def _use_pallas_gather() -> bool:
+    return bool(os.environ.get("DEMFI_PALLAS_GATHER")) and _use_pallas()
+
+
+def _use_pallas_scatter() -> bool:
+    return bool(os.environ.get("DEMFI_PALLAS_SCATTER")) and _use_pallas()
 
 
 # Static Pallas motion window (ops/pallas_kernels.py sweeps +-vr source
@@ -170,6 +191,52 @@ def _fwarp_fast_bwd(vr, res, g):
 _fwarp_fast.defvjp(_fwarp_fast_fwd, _fwarp_fast_bwd)
 
 
+def _bilinear_zeros_quad(img: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact bilinear-zeros sampling via ONE quad-row gather.
+
+    TPU gathers are row-DMA-bound: 4 separate corner gathers move 4 rows
+    of C*4 bytes each. Stacking the 2x2 corner neighborhood on channels
+    first (two rolls + concats, fused elementwise by XLA) turns that into
+    a single gather of 4C-byte rows — 4x fewer descriptors and 4x larger
+    rows, measured ~3x faster at C=64 on v5e. Semantics identical to
+    :func:`_bilinear_zeros` (each out-of-image corner contributes zero;
+    the roll wrap-around at the borders is cancelled by the per-tap
+    validity weight)."""
+    b, h, w, c = img.shape
+    # zero-pad by 1 and stack the 2x2 neighborhood on channels; indexing
+    # quad at (y0+1, x0+1) is then exact for EVERY tap position, including
+    # the y0 = -1 / x0 = -1 border rows where a clipped base index would
+    # silently shift the whole neighborhood (zeros padding semantics)
+    imgp = jnp.pad(img, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    quad = jnp.concatenate(
+        [imgp[:, :-1, :-1], imgp[:, :-1, 1:],
+         imgp[:, 1:, :-1], imgp[:, 1:, 1:]], axis=-1)   # [B, H+1, W+1, 4C]
+    # quad channels: [x(y,x), x(y,x+1), x(y+1,x), x(y+1,x+1)]
+
+    x0 = jnp.floor(px)
+    y0 = jnp.floor(py)
+    fx = (px - x0).astype(img.dtype)
+    fy = (py - y0).astype(img.dtype)
+    x0 = x0.astype(jnp.int32)
+    y0 = y0.astype(jnp.int32)
+
+    q = _gather2d(quad, jnp.clip(y0 + 1, 0, h), jnp.clip(x0 + 1, 0, w))
+
+    out = None
+    ones = None
+    for i, (dy, dx) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+        xi = x0 + dx
+        yi = y0 + dy
+        valid = ((xi >= 0) & (xi < w) & (yi >= 0) & (yi < h))
+        wgt = (fx if dx else 1.0 - fx) * (fy if dy else 1.0 - fy)
+        wgt = wgt * valid.astype(img.dtype)
+        contrib = q[..., i * c:(i + 1) * c] * wgt[..., None]
+        out = contrib if out is None else out + contrib
+        ones = wgt if ones is None else ones + wgt
+    return out, ones[..., None]
+
+
 def _gather2d(img: jnp.ndarray, yi: jnp.ndarray, xi: jnp.ndarray) -> jnp.ndarray:
     """Gather img[b, yi[b,h,w], xi[b,h,w], :] -> [B, Hq, Wq, C].
 
@@ -226,13 +293,15 @@ def bwarp(x: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     binary mask that zeroes any pixel whose warped all-ones sample is
     < 0.999 (DeMFInet.py:758-766).
 
-    On TPU this dispatches to the Pallas kernel (ops/pallas_kernels.py)
-    when every in-image tap fits its static motion window, and falls back
-    to the exact XLA gather otherwise (runtime lax.cond on max |flow|).
+    On TPU this uses the quad-row XLA gather (exact, any motion); the
+    Pallas kernel is opt-in (DEMFI_PALLAS_GATHER=1), guarded by a
+    runtime lax.cond on max |flow| against its static window.
     """
     b, h, w, c = x.shape
-    if _use_pallas() and h >= 16 and w >= 16:
+    if _use_pallas_gather() and h >= 16 and w >= 16:
         return _bwarp_fast(x, flow, _PALLAS_VR)
+    if _on_tpu():
+        return _bwarp_xla_quad(x, flow)
     return _bwarp_xla(x, flow)
 
 
@@ -248,6 +317,18 @@ def _bwarp_xla(x: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     return out * mask
 
 
+def _bwarp_xla_quad(x: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
+    """Exact backward warp via the single quad-row gather (TPU default)."""
+    b, h, w, c = x.shape
+    gx = jnp.arange(w, dtype=x.dtype)[None, None, :]
+    gy = jnp.arange(h, dtype=x.dtype)[None, :, None]
+    px = gx + flow[..., 0]
+    py = gy + flow[..., 1]
+    out, ones = _bilinear_zeros_quad(x, px, py)
+    mask = (ones >= 0.999).astype(x.dtype)
+    return out * mask
+
+
 def bilinear_sample_abs(img: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     """Bilinear sample at absolute pixel coordinates (FGAC sampler).
 
@@ -259,9 +340,12 @@ def bilinear_sample_abs(img: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     h, w = img.shape[1], img.shape[2]
     # the Pallas kernel assumes the query grid matches the image grid;
     # the fgac rr>0 level grid (H*G, W*G) takes the exact XLA path
-    if (_use_pallas() and h >= 16 and w >= 16
+    if (_use_pallas_gather() and h >= 16 and w >= 16
             and img.shape[1:3] == coords.shape[1:3]):
         return _abs_fast(img, coords, min(_PALLAS_SPAN, h + 8))
+    if _on_tpu():
+        out, _ = _bilinear_zeros_quad(img, coords[..., 0], coords[..., 1])
+        return out
     return _bilinear_abs_xla(img, coords)
 
 
@@ -281,12 +365,16 @@ def fwarp(img: jnp.ndarray, flo: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]
     identical copies of the norm, DeMFInet.py:726-729 — one channel here).
 
     All four taps are fused into a single XLA scatter-add over C+1
-    channels (image channels + the weight normalizer). On TPU this
-    dispatches to the Pallas scatter kernel (ops/pallas_kernels.py).
+    channels (image channels + the weight normalizer). On TPU the four
+    corners are additionally fused into ONE 4(C+1)-channel scatter
+    (_fwarp_xla_quad, measured 3x the 4-tap scatter); the Pallas scatter
+    kernel is opt-in via DEMFI_PALLAS_SCATTER=1.
     """
     b, h, w, c = img.shape
-    if _use_pallas() and h >= 16 and w >= 16:
+    if _use_pallas_scatter() and h >= 16 and w >= 16:
         return _fwarp_fast(img, flo, _PALLAS_VR)
+    if _on_tpu():
+        return _fwarp_xla_quad(img, flo)
     return _fwarp_xla(img, flo)
 
 
@@ -321,6 +409,58 @@ def _fwarp_xla(img: jnp.ndarray, flo: jnp.ndarray
             tc = jnp.clip(tc, 0, w - 1)
             acc = acc.at[bidx, tr, tc].add(vals * wgt[..., None])
     return acc[..., :c], acc[..., c:]
+
+
+def _fwarp_xla_quad(img: jnp.ndarray, flo: jnp.ndarray
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact forward warp via ONE fused scatter (TPU default).
+
+    TPU scatters are descriptor-bound like gathers: 4 separate corner
+    scatters move 4 rows of (C+1)*4 bytes. Stacking the 4 corner
+    contributions on channels scatters ONE 4(C+1)-channel row at the
+    base corner (r1, c1) into a 1-padded accumulator; the 4 blocks are
+    then realigned with cheap static shifts. Per-tap validity is applied
+    to the weights before the scatter, so semantics match
+    :func:`_fwarp_xla` exactly."""
+    b, h, w, c = img.shape
+    dc = flo[..., 0]
+    dr = flo[..., 1]
+    c1 = jnp.floor(dc)
+    r1 = jnp.floor(dr)
+    fc = dc - c1
+    fr = dr - r1
+    c1 = c1.astype(jnp.int32)
+    r1 = r1.astype(jnp.int32)
+
+    base_r = jnp.arange(h, dtype=jnp.int32)[None, :, None]
+    base_c = jnp.arange(w, dtype=jnp.int32)[None, None, :]
+    tr = base_r + r1          # base (dr=0) target row
+    tc = base_c + c1
+
+    vals = jnp.concatenate([img, jnp.ones((b, h, w, 1), img.dtype)], axis=-1)
+    blocks = []
+    for ddr in (0, 1):
+        for ddc in (0, 1):
+            wgt = jnp.exp(-((fr - ddr) ** 2 + (fc - ddc) ** 2))
+            valid = ((tr + ddr >= 0) & (tr + ddr < h)
+                     & (tc + ddc >= 0) & (tc + ddc < w))
+            blocks.append(vals * (wgt * valid.astype(img.dtype))[..., None])
+    fused = jnp.concatenate(blocks, axis=-1)          # [B,H,W,4(C+1)]
+
+    # base corner can be at -1 (fractional underflow) — 1-padded target;
+    # bases beyond that have all-zero weights, clip is harmless
+    bidx = jnp.broadcast_to(
+        jnp.arange(b, dtype=jnp.int32)[:, None, None], (b, h, w))
+    acc = jnp.zeros((b, h + 2, w + 2, 4 * (c + 1)), img.dtype)
+    acc = acc.at[bidx, jnp.clip(tr + 1, 0, h + 1),
+                 jnp.clip(tc + 1, 0, w + 1)].add(fused)
+
+    n = c + 1
+    out = (acc[:, 1:h + 1, 1:w + 1, 0 * n:1 * n]          # (dr=0, dc=0)
+           + acc[:, 1:h + 1, 0:w, 1 * n:2 * n]            # (0, 1)
+           + acc[:, 0:h, 1:w + 1, 2 * n:3 * n]            # (1, 0)
+           + acc[:, 0:h, 0:w, 3 * n:4 * n])               # (1, 1)
+    return out[..., :c], out[..., c:]
 
 
 def cfr_flow_t_align(flow_01: jnp.ndarray, flow_10: jnp.ndarray,
