@@ -9,6 +9,7 @@ import numpy as np
 import pytest
 import torch
 import torch.nn.functional as TF
+import jax
 import jax.numpy as jnp
 
 from demfi_tpu.ops import (
@@ -238,3 +239,43 @@ def test_fgac_avg_pool_matches_torch():
                              padding=k // 2).numpy()
         got = np.asarray(_avg_pool_same(jnp.asarray(x), k))
         np.testing.assert_allclose(got, nhwc(want), rtol=1e-5, atol=1e-6)
+
+
+def test_fused_tpu_paths_match_four_tap():
+    """The TPU-default fused formulations (quad-row gather, single fused
+    4-corner scatter — ops/warp.py) must be bit-equal to the 4-tap XLA
+    reference paths for ALL coordinate regimes, including the y0/x0 = -1
+    border rows where a clipped base index would shift the neighborhood,
+    and fully out-of-range coords."""
+    from demfi_tpu.ops.warp import (_bilinear_zeros, _bilinear_zeros_quad,
+                                    _bwarp_xla, _bwarp_xla_quad,
+                                    _fwarp_xla, _fwarp_xla_quad)
+
+    x = jnp.asarray(RNG.randn(2, 24, 40, 5).astype(np.float32))
+    for scale in (0.5, 9.0, 300.0):
+        flo = jnp.asarray((RNG.randn(2, 24, 40, 2) * scale
+                           ).astype(np.float32))
+        np.testing.assert_allclose(
+            np.asarray(_bwarp_xla(x, flo)),
+            np.asarray(_bwarp_xla_quad(x, flo)), atol=1e-6)
+        a, an = _fwarp_xla(x, flo)
+        q, qn = _fwarp_xla_quad(x, flo)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(q), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(an), np.asarray(qn), atol=1e-5)
+        coords = jnp.asarray((RNG.randn(2, 24, 40, 2) * scale
+                              ).astype(np.float32))
+        wa, wo = _bilinear_zeros(x, coords[..., 0], coords[..., 1])
+        qa, qo = _bilinear_zeros_quad(x, coords[..., 0], coords[..., 1])
+        np.testing.assert_allclose(np.asarray(wa), np.asarray(qa), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(wo), np.asarray(qo), atol=1e-6)
+
+    # gradients flow identically through both fused forms
+    flo = jnp.asarray((RNG.randn(2, 24, 40, 2) * 3).astype(np.float32))
+    g1 = jax.grad(lambda f: jnp.sum(_bwarp_xla(x, f) ** 2))(flo)
+    g2 = jax.grad(lambda f: jnp.sum(_bwarp_xla_quad(x, f) ** 2))(flo)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-4, atol=1e-5)
+    g3 = jax.grad(lambda f: jnp.sum(_fwarp_xla(x, f)[0] ** 2))(flo)
+    g4 = jax.grad(lambda f: jnp.sum(_fwarp_xla_quad(x, f)[0] ** 2))(flo)
+    np.testing.assert_allclose(np.asarray(g3), np.asarray(g4),
+                               rtol=1e-4, atol=1e-5)
