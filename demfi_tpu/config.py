@@ -104,6 +104,11 @@ class DeMFIConfig:
     pallas_vr: int = 64
     # Row span of the Pallas FGAC absolute-coordinate sampler.
     pallas_span: int = 128
+    # Elastic restart: when a latest checkpoint exists for this
+    # experiment, resume from it automatically (no --fine_tuning needed).
+    # Lets a supervisor relaunch the identical command after a crash /
+    # preemption and continue training (docs/SCALING.md recipe).
+    auto_resume: bool = False
     # lax.scan the Stage-II boosting loop (one compiled body instead of
     # num_update copies — ~N× lower Stage-II trace/compile cost at N_trn=5;
     # outputs match the unrolled loop within fp32 fusion noise, see

@@ -87,6 +87,9 @@ def parse_args(argv=None) -> DeMFIConfig:
                    help="host:port of process 0 for multi-host training")
     p.add_argument("--num_processes", type=int, default=None)
     p.add_argument("--process_id", type=int, default=None)
+    p.add_argument("--auto_resume", action="store_true",
+                   help="resume from the latest checkpoint if one exists "
+                        "(elastic restart after crash/preemption)")
     p.add_argument("--compute_tOF", action="store_true")
     p.add_argument("--eval_window_batch", type=int, default=d.eval_window_batch)
     p.add_argument("--t_chunk", type=int, default=d.t_chunk)
@@ -103,6 +106,7 @@ def parse_args(argv=None) -> DeMFIConfig:
     kwargs["test_patch"] = tuple(a.test_patch)
     kwargs["lr_milestones"] = tuple(a.lr_milestones)
     kwargs["fine_tuning"] = bool(a.fine_tuning)
+    kwargs["auto_resume"] = bool(a.auto_resume)
     return DeMFIConfig(**kwargs)
 
 
@@ -147,8 +151,9 @@ def run_train(cfg: DeMFIConfig) -> None:
     start_epoch = 0
     best_psnr = 0.0
     results = (0.0,) * 5 + ("",)
-    if cfg.fine_tuning:
-        if cfg.fine_tuning_epoch_point:
+    resume = cfg.fine_tuning or (cfg.auto_resume and em.has("latest"))
+    if resume:
+        if cfg.fine_tuning and cfg.fine_tuning_epoch_point:
             state_params, opt_state, meta = em.load_epoch(
                 cfg.fine_tuning_epoch_point, state.params, state.opt_state)
         else:

@@ -91,6 +91,26 @@ def test_cli_parse_defaults():
     assert cfg.model_dir == "DeMFInet_exp3"
 
 
+def test_auto_resume_flag_and_checkpoint_probe(tmp_path):
+    """--auto_resume parses, and the resume predicate (latest checkpoint
+    exists for the experiment) matches ExperimentManager.has()."""
+    from demfi_tpu.checkpoint.manager import ExperimentManager
+
+    cfg = parse_args(["--phase", "train", "--auto_resume",
+                      "--checkpoint_dir", str(tmp_path),
+                      "--text_dir", str(tmp_path / "t"),
+                      "--log_dir", str(tmp_path / "l"),
+                      "--test_img_dir", str(tmp_path / "i")])
+    assert cfg.auto_resume
+    em = ExperimentManager(cfg)
+    assert not em.has("latest")   # fresh experiment -> no resume
+    params = {"w": np.zeros((2, 2), np.float32)}
+    em.save_latest(params, None, {"last_epoch": 4, "best_PSNR": 31.5}, False)
+    assert em.has("latest")       # relaunch would now resume
+    loaded, _, meta = em.load_latest(params)
+    assert meta["last_epoch"] == 4 and meta["best_PSNR"] == 31.5
+
+
 def test_graft_entry_single():
     import __graft_entry__ as g
     fn, (params, frames, t) = g.entry()
