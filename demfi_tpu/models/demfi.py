@@ -449,8 +449,10 @@ class DeMFINet(nn.Module):
         # t-alignment: CFR + feature warp/blend (Eq. 2)
         flow_t0, flow_t1 = cfr_flow_t_align(ctx.flow_01, ctx.flow_10, t)
         occ_0 = nn.sigmoid(ctx.occ_0_logit.astype(jnp.float32))
-        ft = _t_blend(bwarp(ctx.f0.astype(jnp.float32), flow_t0),
-                      bwarp(ctx.f1.astype(jnp.float32), flow_t1), occ_0, t)
+        # features warp in their native dtype (bf16 rows gather exactly;
+        # interpolation weights/accumulation are f32 inside bwarp)
+        ft = _t_blend(bwarp(ctx.f0, flow_t0),
+                      bwarp(ctx.f1, flow_t1), occ_0, t)
 
         # refinement (DeMFInet.py:77-87)
         agg1 = jnp.concatenate(
@@ -469,8 +471,8 @@ class DeMFINet(nn.Module):
         r_f0 = jnp.tanh(agg1[..., 5:5 + nf])
         r_f1 = jnp.tanh(agg1[..., 5 + nf:5 + 2 * nf])
 
-        r_ft = _t_blend(bwarp(r_f0.astype(jnp.float32), rflow_t0),
-                        bwarp(r_f1.astype(jnp.float32), rflow_t1), occ_0, t
+        r_ft = _t_blend(bwarp(r_f0, rflow_t0),
+                        bwarp(r_f1, rflow_t1), occ_0, t
                         ).astype(self.dtype)
 
         # D1: joint 3-frame decode (frames folded into batch)
@@ -558,8 +560,8 @@ class DeMFINet(nn.Module):
         occ_0_f = nn.sigmoid(delta_occ.astype(jnp.float32))
 
         st_new = _t_blend(
-            bwarp(s0p.astype(jnp.float32), ft0_f),
-            bwarp(s1p.astype(jnp.float32), ft1_f),
+            bwarp(s0p, ft0_f),
+            bwarp(s1p, ft1_f),
             occ_0_f, t).astype(self.dtype)
 
         agg3 = jnp.concatenate(

@@ -214,14 +214,20 @@ def _bilinear_zeros_quad(img: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray
          imgp[:, 1:, :-1], imgp[:, 1:, 1:]], axis=-1)   # [B, H+1, W+1, 4C]
     # quad channels: [x(y,x), x(y,x+1), x(y+1,x), x(y+1,x+1)]
 
+    px = px.astype(jnp.float32)
+    py = py.astype(jnp.float32)
     x0 = jnp.floor(px)
     y0 = jnp.floor(py)
-    fx = (px - x0).astype(img.dtype)
-    fy = (py - y0).astype(img.dtype)
+    fx = px - x0
+    fy = py - y0
     x0 = x0.astype(jnp.int32)
     y0 = y0.astype(jnp.int32)
 
-    q = _gather2d(quad, jnp.clip(y0 + 1, 0, h), jnp.clip(x0 + 1, 0, w))
+    # rows travel in the image's own dtype (bf16 halves gather bytes and
+    # is EXACT: casting commutes with gathering), weights/accumulation
+    # in f32
+    q = _gather2d(quad, jnp.clip(y0 + 1, 0, h), jnp.clip(x0 + 1, 0, w)
+                  ).astype(jnp.float32)
 
     out = None
     ones = None
@@ -230,7 +236,7 @@ def _bilinear_zeros_quad(img: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray
         yi = y0 + dy
         valid = ((xi >= 0) & (xi < w) & (yi >= 0) & (yi < h))
         wgt = (fx if dx else 1.0 - fx) * (fy if dy else 1.0 - fy)
-        wgt = wgt * valid.astype(img.dtype)
+        wgt = wgt * valid.astype(jnp.float32)
         contrib = q[..., i * c:(i + 1) * c] * wgt[..., None]
         out = contrib if out is None else out + contrib
         ones = wgt if ones is None else ones + wgt
@@ -263,6 +269,8 @@ def _bilinear_zeros(img: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray
     for the reference's hard occlusion mask).
     """
     b, h, w, c = img.shape
+    px = px.astype(jnp.float32)
+    py = py.astype(jnp.float32)
     x0 = jnp.floor(px)
     y0 = jnp.floor(py)
     fx = px - x0
@@ -278,9 +286,9 @@ def _bilinear_zeros(img: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray
             yi = y0 + dy
             valid = ((xi >= 0) & (xi < w) & (yi >= 0) & (yi < h))
             wgt = (fx if dx else 1.0 - fx) * (fy if dy else 1.0 - fy)
-            wgt = wgt * valid.astype(img.dtype)
+            wgt = wgt * valid.astype(jnp.float32)
             tap = _gather2d(img, jnp.clip(yi, 0, h - 1), jnp.clip(xi, 0, w - 1))
-            contrib = tap * wgt[..., None]
+            contrib = tap.astype(jnp.float32) * wgt[..., None]
             out = contrib if out is None else out + contrib
             ones = wgt if ones is None else ones + wgt
     return out, ones[..., None]
@@ -308,24 +316,24 @@ def bwarp(x: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
 def _bwarp_xla(x: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     """Exact XLA backward warp (reference semantics, any motion)."""
     b, h, w, c = x.shape
-    gx = jnp.arange(w, dtype=x.dtype)[None, None, :]
-    gy = jnp.arange(h, dtype=x.dtype)[None, :, None]
-    px = gx + flow[..., 0]
-    py = gy + flow[..., 1]
+    gx = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    gy = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+    px = gx + flow[..., 0].astype(jnp.float32)
+    py = gy + flow[..., 1].astype(jnp.float32)
     out, ones = _bilinear_zeros(x, px, py)
-    mask = (ones >= 0.999).astype(x.dtype)
+    mask = (ones >= 0.999).astype(out.dtype)
     return out * mask
 
 
 def _bwarp_xla_quad(x: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     """Exact backward warp via the single quad-row gather (TPU default)."""
     b, h, w, c = x.shape
-    gx = jnp.arange(w, dtype=x.dtype)[None, None, :]
-    gy = jnp.arange(h, dtype=x.dtype)[None, :, None]
-    px = gx + flow[..., 0]
-    py = gy + flow[..., 1]
+    gx = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    gy = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+    px = gx + flow[..., 0].astype(jnp.float32)
+    py = gy + flow[..., 1].astype(jnp.float32)
     out, ones = _bilinear_zeros_quad(x, px, py)
-    mask = (ones >= 0.999).astype(x.dtype)
+    mask = (ones >= 0.999).astype(out.dtype)
     return out * mask
 
 

@@ -71,8 +71,18 @@ def test_forward_matches_golden():
 
 
 if __name__ == "__main__":
+    import subprocess
     import sys
-    jax.config.update("jax_platforms", "cpu")  # goldens are CPU-captured
+    if os.environ.get("XLA_FLAGS", "") == "":
+        # goldens MUST be captured under the exact pytest environment
+        # (conftest's 8-virtual-device CPU backend): thread partitioning
+        # shifts fp reduction order by ~1e-4, which the per-pixel probes
+        # are tight enough to see
+        env = dict(os.environ,
+                   XLA_FLAGS="--xla_force_host_platform_device_count=8")
+        sys.exit(subprocess.call([sys.executable, __file__] + sys.argv[1:],
+                                 env=env))
+    jax.config.update("jax_platforms", "cpu")
     if "--recapture" in sys.argv:
         with open(GOLDEN_PATH, "w") as f:
             json.dump(compute_stats(), f, indent=1)
