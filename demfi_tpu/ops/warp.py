@@ -72,6 +72,12 @@ def _use_pallas_scatter() -> bool:
 # never silently truncate (VERDICT r1: "silent bounded-motion truncation").
 _PALLAS_VR = int(os.environ.get("DEMFI_PALLAS_VR", "64"))
 _PALLAS_SPAN = int(os.environ.get("DEMFI_PALLAS_SPAN", "128"))
+# Dense-shift fwarp window (experimental, default OFF): displacements
+# with |flo| <= D-1 could take the descriptor-free shift-stencil path
+# (_fwarp_xla_shifts), but measured on v5e the (2D+2)^2 slice-RMW chain
+# is NOT fused by XLA (315 ms vs the fused scatter's 120 ms at B=7
+# 352x640, D=8), so it stays opt-in via DEMFI_FWARP_D>0.
+_FWARP_SHIFT_D = int(os.environ.get("DEMFI_FWARP_D", "0"))
 
 
 def set_pallas_window(vr: int = None, span: int = None) -> None:
@@ -382,6 +388,12 @@ def fwarp(img: jnp.ndarray, flo: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]
     if _use_pallas_scatter() and h >= 16 and w >= 16:
         return _fwarp_fast(img, flo, _PALLAS_VR)
     if _on_tpu():
+        D = _FWARP_SHIFT_D
+        if D > 0 and h > 2 * D and w > 2 * D:
+            ok = ~jnp.any(jnp.abs(flo) > float(D - 1))
+            return jax.lax.cond(
+                ok, lambda i, f: _fwarp_xla_shifts(i, f, D),
+                _fwarp_xla_quad, img, flo)
         return _fwarp_xla_quad(img, flo)
     return _fwarp_xla(img, flo)
 
@@ -469,6 +481,57 @@ def _fwarp_xla_quad(img: jnp.ndarray, flo: jnp.ndarray
            + acc[:, 0:h, 1:w + 1, 2 * n:3 * n]            # (1, 0)
            + acc[:, 0:h, 0:w, 3 * n:4 * n])               # (1, 1)
     return out[..., :c], out[..., c:]
+
+
+def _fwarp_xla_shifts(img: jnp.ndarray, flo: jnp.ndarray, D: int
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Forward warp as a dense shift-stencil sum (no scatter at all).
+
+    For displacements with floor(d) in [-D, D], every source pixel's
+    4-corner Gaussian splat lands within a static (2D+2)^2 neighborhood,
+    so the scatter-add becomes
+        out = sum_{dy,dx} shift(vals * MY[dy] * MX[dx], dy, dx)
+    with per-axis masks MY[dy] = [r1==dy]*wy0 + [r1==dy-1]*wy1 (the
+    Gaussian weights are separable). Pure elementwise + static pads —
+    no descriptors, so it beats the scatter when D is small (the
+    guarded dispatch in fwarp() checks max|flo| at runtime).
+    Semantics identical to :func:`_fwarp_xla` for in-window flows.
+    """
+    b, h, w, c = img.shape
+    dc = flo[..., 0].astype(jnp.float32)
+    dr = flo[..., 1].astype(jnp.float32)
+    c1 = jnp.floor(dc)
+    r1 = jnp.floor(dr)
+    fc = dc - c1
+    fr = dr - r1
+    c1 = c1.astype(jnp.int32)
+    r1 = r1.astype(jnp.int32)
+
+    wy = (jnp.exp(-(fr ** 2)), jnp.exp(-((fr - 1.0) ** 2)))
+    wx = (jnp.exp(-(fc ** 2)), jnp.exp(-((fc - 1.0) ** 2)))
+
+    vals = jnp.concatenate(
+        [img.astype(jnp.float32), jnp.ones((b, h, w, 1), jnp.float32)],
+        axis=-1)
+
+    # accumulate into a (H+2S, W+2S) canvas so shifts are pure slices
+    S = D + 1
+    acc = jnp.zeros((b, h + 2 * S, w + 2 * S, c + 1), jnp.float32)
+    my = {dy: jnp.where(r1 == dy, wy[0], 0.0)
+          + jnp.where(r1 == dy - 1, wy[1], 0.0)
+          for dy in range(-D, D + 2)}
+    mx = {dx: jnp.where(c1 == dx, wx[0], 0.0)
+          + jnp.where(c1 == dx - 1, wx[1], 0.0)
+          for dx in range(-D, D + 2)}
+    for dy in range(-D, D + 2):
+        for dx in range(-D, D + 2):
+            t = vals * (my[dy] * mx[dx])[..., None]
+            acc = acc.at[:, S + dy:S + dy + h, S + dx:S + dx + w].add(t)
+    out = acc[:, S:S + h, S:S + w]
+    # out-of-image splats must be dropped (zeros padding semantics):
+    # the canvas margins already absorbed them
+    return (out[..., :c].astype(img.dtype),
+            out[..., c:c + 1].astype(img.dtype))
 
 
 def cfr_flow_t_align(flow_01: jnp.ndarray, flow_10: jnp.ndarray,

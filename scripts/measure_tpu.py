@@ -20,6 +20,13 @@ import time
 
 import numpy as np
 
+import jax as _jax
+try:
+    _jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+except Exception:
+    pass
+
 
 def main():
     ap = argparse.ArgumentParser()

@@ -269,6 +269,19 @@ def test_fused_tpu_paths_match_four_tap():
         np.testing.assert_allclose(np.asarray(wa), np.asarray(qa), atol=1e-6)
         np.testing.assert_allclose(np.asarray(wo), np.asarray(qo), atol=1e-6)
 
+    # dense-shift fwarp (TPU small-motion path): exact within its window
+    from demfi_tpu.ops.warp import _fwarp_xla_shifts
+    flo_w = jnp.asarray(RNG.uniform(-6.9, 6.9, (2, 24, 40, 2)
+                                    ).astype(np.float32))
+    a, an = _fwarp_xla(x, flo_w)
+    s, sn = _fwarp_xla_shifts(x, flo_w, 8)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(s), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(an), np.asarray(sn), atol=1e-5)
+    gs1 = jax.grad(lambda f: jnp.sum(_fwarp_xla(x, f)[0] ** 2))(flo_w)
+    gs2 = jax.grad(lambda f: jnp.sum(_fwarp_xla_shifts(x, f, 8)[0] ** 2))(flo_w)
+    np.testing.assert_allclose(np.asarray(gs1), np.asarray(gs2),
+                               rtol=1e-4, atol=1e-5)
+
     # gradients flow identically through both fused forms
     flo = jnp.asarray((RNG.randn(2, 24, 40, 2) * 3).astype(np.float32))
     g1 = jax.grad(lambda f: jnp.sum(_bwarp_xla(x, f) ** 2))(flo)
