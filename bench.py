@@ -78,6 +78,12 @@ def main():
 
     import jax
 
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
         if not args.quick and args.res == "352x640":
