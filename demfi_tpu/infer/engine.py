@@ -29,6 +29,12 @@ import numpy as np
 
 from demfi_tpu.models.demfi import DeMFINet
 
+# Auto t-chunk budget: the x8 synthesize batch measures ~3.5 KB of HBM
+# per pixel-instant on v5e (720p x 7 instants = 22.8 GB > the 15.75 GB
+# chip, measure_r02_720p.json), so cap pixel-instants per device batch
+# and split the t axis beyond it.
+_PIXEL_INSTANT_BUDGET = 3_500_000
+
 
 @dataclasses.dataclass
 class WindowResult:
@@ -101,7 +107,9 @@ class InferenceEngine:
         self.model = model
         self.variables = variables
         self.num_update = num_update
-        self.t_chunk = t_chunk  # optional cap on t-values per device batch
+        # cap on t-values per device batch; None = derive from the HBM
+        # pixel-instant budget (720p x8 in one batch OOMs a v5e)
+        self.t_chunk = t_chunk
 
         def forward(variables, frames, ts):
             """frames [N,4,H,W,3]; ts [N,M] -> DeMFIOutputs, batch N*M."""
@@ -162,6 +170,15 @@ class InferenceEngine:
             ))
         return results
 
+    def _effective_t_chunk(self, h, w, m, test_patch=(1, 1)):
+        """User cap if given, else the HBM-derived one (per-tile pixels
+        when the tiled path will split the frame)."""
+        if self.t_chunk:
+            return self.t_chunk
+        px = (h // test_patch[0]) * (w // test_patch[1])
+        cap = max(1, _PIXEL_INSTANT_BUDGET // max(px, 1))
+        return cap if cap < m else None
+
     def forward_windows(self, frames: np.ndarray, ts: np.ndarray
                         ) -> List[WindowResult]:
         """Batched untiled inference: frames [N,4,H,W,3], ts [N,M]."""
@@ -176,10 +193,12 @@ class InferenceEngine:
         frames: [1,4,H,W,3] float32 BGR in [-1,1] (order B0,B1,B-1,B2).
         """
         ts = np.asarray(ts, np.float32)
-        if self.t_chunk and len(ts) > self.t_chunk:
-            parts = [self.forward_window(frames, ts[i:i + self.t_chunk],
+        chunk = self._effective_t_chunk(frames.shape[2], frames.shape[3],
+                                        len(ts), test_patch)
+        if chunk and len(ts) > chunk:
+            parts = [self.forward_window(frames, ts[i:i + chunk],
                                          test_patch, patch_boundary)
-                     for i in range(0, len(ts), self.t_chunk)]
+                     for i in range(0, len(ts), chunk)]
             return WindowResult(**{
                 f.name: np.concatenate([getattr(p, f.name) for p in parts])
                 for f in dataclasses.fields(WindowResult)})

@@ -39,6 +39,10 @@ def main():
     ap.add_argument("--dtypes", type=str, default="bfloat16,float32")
     ap.add_argument("--merge", action="store_true",
                     help="start from the existing --out file if present")
+    ap.add_argument("--t_map", action="store_true",
+                    help="model section: run the 7 instants via lax.map "
+                         "at B=1 instead of one B=7 batch (720p x8 at "
+                         "B=7 exceeds HBM: 22.8G vs 15.75G)")
     args = ap.parse_args()
     h, w = (int(x) for x in args.res.split("x"))
 
@@ -191,6 +195,13 @@ def main():
 
         def window(p, f, ts):
             ctx = model.apply(p, f, method=model.extract)
+            if args.t_map:
+                def one(t):
+                    o = model.apply(p, ctx, t[None], 3,
+                                    method=model.synthesize)
+                    return (jnp.sum(o.st_final.astype(jnp.float32))
+                            + jnp.sum(o.st_prime.astype(jnp.float32)))
+                return jax.lax.map(one, ts[:, None])
             ctx = jax.tree_util.tree_map(
                 lambda x: jnp.repeat(x, ts.shape[0], axis=0), ctx)
             out = model.apply(p, ctx, ts[:, None], 3,

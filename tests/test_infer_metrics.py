@@ -159,3 +159,27 @@ def test_mesh_sharded_engine_matches_unsharded(engine):
         np.testing.assert_allclose(b[i].st_final, a[i].st_final, atol=2e-3)
         np.testing.assert_allclose(b[i].flow_final, a[i].flow_final,
                                    atol=2e-3)
+
+
+def test_auto_t_chunk_equals_unchunked(engine, monkeypatch):
+    """With no explicit t_chunk, the engine derives one from the HBM
+    pixel-instant budget (720p x8 in one batch OOMs a v5e). Chunked
+    results must equal the single-batch results exactly."""
+    import demfi_tpu.infer.engine as E
+
+    model, params, eng = engine
+    rng = np.random.RandomState(3)
+    frames = rng.uniform(-1, 1, (1, 4, 64, 64, 3)).astype(np.float32)
+    ts = np.linspace(0.2, 0.8, 4).astype(np.float32)
+
+    assert eng._effective_t_chunk(64, 64, 4) is None  # tiny frame: no split
+    full = eng.forward_window(frames, ts)
+
+    # shrink the budget so 64x64 allows only 2 instants per batch
+    monkeypatch.setattr(E, "_PIXEL_INSTANT_BUDGET", 2 * 64 * 64)
+    assert eng._effective_t_chunk(64, 64, 4) == 2
+    chunked = eng.forward_window(frames, ts)
+    for name in ("st_final", "st_prime", "flow_final", "occ0_final"):
+        np.testing.assert_allclose(getattr(chunked, name),
+                                   getattr(full, name), atol=1e-5,
+                                   err_msg=name)
