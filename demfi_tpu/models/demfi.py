@@ -69,7 +69,16 @@ def _minmax_norm(v: Array) -> Array:
 
 
 def _t_blend(a: Array, b: Array, occ_0: Array, t: Array) -> Array:
-    """Occlusion-weighted temporal blend, Eq.(2) (DeMFInet.py:68-71)."""
+    """Occlusion-weighted temporal blend, Eq.(2) (DeMFInet.py:68-71).
+
+    The [B,H,W,1]/[B,1,1,1] operands are broadcast EXPLICITLY: an
+    implicit broadcast-multiply fused into the same XLA:TPU program as
+    the warp gathers miscompiles at >=352x640 f32 (NaNs in ~4% of
+    elements from mathematically-bounded inputs; bisected 2026-08-17,
+    ROUND2_NOTES.md "f32 NaN"). broadcast_to is semantically identity
+    and dodges the bad fusion on every size tested."""
+    occ_0 = jnp.broadcast_to(occ_0, a.shape)
+    t = jnp.broadcast_to(t, a.shape)
     occ_1 = 1.0 - occ_0
     num = (1.0 - t) * occ_0 * a + t * occ_1 * b
     den = (1.0 - t) * occ_0 + t * occ_1

@@ -339,7 +339,9 @@ def _bwarp_xla_quad(x: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     px = gx + flow[..., 0].astype(jnp.float32)
     py = gy + flow[..., 1].astype(jnp.float32)
     out, ones = _bilinear_zeros_quad(x, px, py)
-    mask = (ones >= 0.999).astype(out.dtype)
+    # explicit broadcast: see _t_blend (models/demfi.py) — implicit
+    # [...,1] broadcast-multiplies fused with gathers miscompile on TPU
+    mask = jnp.broadcast_to((ones >= 0.999).astype(out.dtype), out.shape)
     return out * mask
 
 
