@@ -27,7 +27,7 @@ import time
 import numpy as np
 
 
-def probe_backend(timeout_s: float = 150.0):
+def probe_backend(timeout_s: float = 300.0):
     """Run jit(x+1) in a subprocess with a hard timeout.
 
     The axon relay can wedge such that backend init hangs or raises; a
@@ -57,7 +57,7 @@ def main():
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--readback", action="store_true",
                     help="include full host readback (tunnel-bound in dev)")
-    ap.add_argument("--probe_timeout", type=float, default=150.0)
+    ap.add_argument("--probe_timeout", type=float, default=300.0)
     ap.add_argument("--cpu", action="store_true",
                     help="force an explicitly-labeled CPU measurement")
     ap.add_argument("--no_probe", action="store_true")
