@@ -146,11 +146,15 @@ def main():
         dt = max((time.time() - t0) / args.iters - floor, 1e-6)
         return dt, f"device (floor {floor*1000:.0f} ms subtracted)"
 
-    from demfi_tpu.ops.warp import _use_pallas
+    from demfi_tpu.ops.warp import (_on_tpu, _use_pallas_gather,
+                                    _use_pallas_scatter)
 
     try:
         dt, mode = run_once()
-        mode += ", pallas" if _use_pallas() else ""
+        if _on_tpu():
+            mode += ", fused-xla-warps"
+            if _use_pallas_gather() or _use_pallas_scatter():
+                mode += "+pallas"
     except Exception as e:  # pallas compile failure -> exact XLA fallback
         print(f"# pallas path failed ({type(e).__name__}); "
               f"retrying with DEMFI_NO_PALLAS=1", flush=True)
