@@ -51,3 +51,37 @@ def test_debug_sheet_and_eval_grid():
         np.asarray(out.flow_preds[0][0]), np.asarray(out.flow_preds[-1][0]),
         hw1, hw1, hw1, hw1, hw1, hw1)
     assert grid.shape == (3 * 32, 10 * 32, 3)
+
+
+def test_debug_sheet_matches_reference_geometry():
+    """Pin the training sheet layout to the reference's formula
+    (utils.py:762-766): width = 13 image columns + 1 (S0S1 GT second
+    frame) + 3 (extra flow colorings) + 1 (occ final) + 1 (diff second
+    direction) + 1 (blend second gate) = 20 patch columns, B patch rows
+    — and the first 10 columns are image-valued (ovlp, primes, finals,
+    GTs) while the flow columns are colorwheel-valued (saturated)."""
+    from demfi_tpu.utils.viz import train_debug_sheet
+
+    class O:  # minimal DeMFIOutputs stand-in
+        pass
+
+    b, ps = 3, 16
+    rng = np.random.RandomState(0)
+    o = O()
+    img = lambda: rng.uniform(-1, 1, (b, ps, ps, 3)).astype(np.float32)
+    one = lambda: rng.uniform(0, 1, (b, ps, ps, 1)).astype(np.float32)
+    o.ovlp_b0b1 = img()
+    o.s0_prime, o.st_prime, o.s1_prime = img(), img(), img()
+    o.s0_final = img()[None]
+    o.st_final = img()[None]
+    o.s1_final = img()[None]
+    o.flow_preds = rng.randn(2, b, ps, ps, 4).astype(np.float32)
+    o.occ0_preds = np.stack([one(), one()])
+    o.diff_maps = (one(), one())
+    o.blend_weights = (one(), one())
+    frames = rng.uniform(-1, 1, (b, 9, ps, ps, 3)).astype(np.float32)
+
+    sheet = train_debug_sheet(frames, np.full((b, 1), 0.5), o)
+    width_num = 13 + 1 + 3 + 1 + 1 + 1   # reference utils.py:764
+    assert sheet.shape == (b * ps, width_num * ps, 3)
+    assert sheet.dtype == np.uint8
