@@ -409,3 +409,120 @@ def fwarp_tpu(img: jnp.ndarray, flo: jnp.ndarray, *, vr: int = 64,
     out = out[:, :h, :w]
     return (out[..., :c].astype(img.dtype),
             out[..., c:c + 1].astype(img.dtype))
+
+
+# ---------------------------------------------------------------------------
+# Shift-stencil forward warp (round-3 candidate; opt-in, interpreter-
+# validated; see ROUND2_NOTES.md "Leads" for the on-chip plan)
+# ---------------------------------------------------------------------------
+def _fwarp_shift_kernel(*refs, C: int, block_rows: int, D: int, d_al: int,
+                        n_slabs: int):
+    """Descriptor-free forward warp: static shift-stencil sum with
+    separable Gaussian masks. The source window arrives as n_slabs
+    8-row x 3x128-col BlockSpec views of one packed (ty, tx, vals)
+    array, so every slab offset is a PYTHON constant and every term is
+    a static VMEM slice-multiply-add — no scatter, no matmul, no DMA.
+    Displacements beyond the window drop (caller guards at runtime)."""
+    out_ref = refs[-1]
+    out_ref[0] = jnp.zeros_like(out_ref[0])
+
+    for k in range(n_slabs):
+        packed = jnp.concatenate(
+            [refs[3 * k][0], refs[3 * k + 1][0], refs[3 * k + 2][0]],
+            axis=1)                          # [8, 384, 2+C]
+        # raw DISPLACEMENTS (not absolute targets): floor(x + d) - x can
+        # differ from floor(d) when the f32 sum rounds across an integer
+        # — the reference buckets by floor(d) (DeMFInet.py:654-680)
+        dyf = packed[..., 0]
+        dxf = packed[..., 1]
+        vals = packed[..., 2:]
+        slab_lo = -d_al + 8 * k              # python int, rows rel. to r0
+        gy = jnp.floor(dyf)
+        gx = jnp.floor(dxf)
+        fy = dyf - gy
+        fx = dxf - gx
+        r1 = gy.astype(jnp.int32)
+        c1 = gx.astype(jnp.int32)
+        wy = (jnp.exp(-(fy ** 2)), jnp.exp(-((fy - 1.0) ** 2)))
+        wx = (jnp.exp(-(fx ** 2)), jnp.exp(-((fx - 1.0) ** 2)))
+
+        hit = ((r1 >= -D) & (r1 <= D + 1) & (c1 >= -D) & (c1 <= D + 1))
+
+        @pl.when(jnp.any(hit))
+        def _(vals=vals, r1=r1, c1=c1, wy=wy, wx=wx, slab_lo=slab_lo):
+            mx = {dx: jnp.where(c1 == dx, wx[0], 0.0)
+                  + jnp.where(c1 == dx - 1, wx[1], 0.0)
+                  for dx in range(-D, D + 2)}
+            for dy in range(-D, D + 2):
+                rel = slab_lo + dy           # static output row of row 0
+                lo = max(rel, 0)
+                hi = min(rel + 8, block_rows)
+                if lo >= hi:
+                    continue
+                o0 = lo - rel
+                o1 = o0 + (hi - lo)
+                my = (jnp.where(r1[o0:o1] == dy, wy[0][o0:o1], 0.0)
+                      + jnp.where(r1[o0:o1] == dy - 1, wy[1][o0:o1], 0.0))
+                for dx in range(-D, D + 2):
+                    sl = slice(LANES - dx, 2 * LANES - dx)
+                    m2 = my[:, sl] * mx[dx][o0:o1, sl]
+                    out_ref[0, lo:hi] += vals[o0:o1, sl, :] * m2[..., None]
+
+
+@functools.partial(jax.jit, static_argnames=("D", "block_rows"))
+def fwarp_shift_tpu(img: jnp.ndarray, flo: jnp.ndarray, *, D: int = 8,
+                    block_rows: int = 16) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Shift-stencil forward warp; exact for |flo| <= D-1 (drops splats
+    beyond the window — pair with the runtime motion guard). Same
+    contract as fwarp_tpu."""
+    b, h, w, c = img.shape
+    cp = _ceil_to(max(c + 1, 8), 8)
+    wp = _ceil_to(w, LANES)
+    hp = _ceil_to(h, block_rows)
+    d_al = _ceil_to(D + 2, 8)
+    pad_top = d_al
+    pad_bot = d_al + (hp - h)
+    n_slabs = (2 * d_al + block_rows) // 8
+
+    vals = jnp.concatenate(
+        [img.astype(jnp.float32), jnp.ones((b, h, w, 1), jnp.float32)],
+        axis=-1)
+    vals = jnp.pad(vals, ((0, 0), (pad_top, pad_bot),
+                          (LANES, LANES + wp - w), (0, cp - c - 1)))
+    # pack (dy, dx, vals) so each slab view is ONE ref; padded sources
+    # get -1e6 displacements and never hit any bucket
+    coords = jnp.stack([flo[..., 1].astype(jnp.float32),
+                        flo[..., 0].astype(jnp.float32)], axis=-1)
+    coords = jnp.pad(coords, ((0, 0), (pad_top, pad_bot),
+                              (LANES, LANES + wp - w), (0, 0)),
+                     constant_values=-1e6)
+    packed = jnp.concatenate([coords, vals], axis=-1)   # [B,Hp,Wp,2+cp]
+
+    grid = (b, hp // block_rows, wp // LANES)
+    kernel = functools.partial(
+        _fwarp_shift_kernel, C=cp, block_rows=block_rows, D=D, d_al=d_al,
+        n_slabs=n_slabs)
+
+    def view(k, s):
+        return pl.BlockSpec(
+            (1, 8, LANES, 2 + cp),
+            lambda b_, r_, c_, k=k, s=s: (b_, (block_rows // 8) * r_ + k,
+                                          c_ + s, 0),
+            memory_space=pltpu.VMEM)
+
+    in_specs = [view(k, s) for k in range(n_slabs) for s in range(3)]
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, hp, wp, cp), jnp.float32),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, block_rows, LANES, cp),
+                               lambda b_, r_, c_: (b_, r_, c_, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel")),
+    )(*([packed] * (3 * n_slabs)))
+
+    out = out[:, :h, :w]
+    return (out[..., :c].astype(img.dtype),
+            out[..., c:c + 1].astype(img.dtype))

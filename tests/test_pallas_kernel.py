@@ -275,3 +275,24 @@ def test_full_model_through_pallas_dispatch():
     np.testing.assert_allclose(np.asarray(got.st_final),
                                np.asarray(want.st_final),
                                atol=5e-4, rtol=1e-3)
+
+
+def test_fwarp_shift_stencil_matches_xla():
+    """Round-3 candidate kernel: descriptor-free shift-stencil forward
+    warp (static VMEM slice-adds over per-slab views, no scatter/DMA).
+    Exact vs the XLA oracle within its |flo| <= D-1 window, including
+    border-drop semantics. Buckets by floor(displacement) — floor of
+    the rounded absolute target differs on f32 integer crossings."""
+    from demfi_tpu.ops.pallas_kernels import fwarp_shift_tpu
+    from demfi_tpu.ops.warp import _fwarp_xla
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 48, 256, 2).astype(np.float32))
+    flo = jnp.asarray(rng.uniform(-6.9, 6.9, (2, 48, 256, 2)
+                                  ).astype(np.float32))
+    want, wantn = _fwarp_xla(x, flo)
+    with pltpu.force_tpu_interpret_mode():
+        got, gotn = fwarp_shift_tpu(x, flo, D=8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gotn), np.asarray(wantn),
+                               atol=1e-5)
