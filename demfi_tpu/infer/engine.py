@@ -32,8 +32,27 @@ from demfi_tpu.models.demfi import DeMFINet
 # Auto t-chunk budget: the x8 synthesize batch measures ~3.5 KB of HBM
 # per pixel-instant on v5e (720p x 7 instants = 22.8 GB > the 15.75 GB
 # chip, measure_r02_720p.json), so cap pixel-instants per device batch
-# and split the t axis beyond it.
-_PIXEL_INSTANT_BUDGET = 3_500_000
+# and split the t axis beyond it. The cap is derived from the device's
+# actual HBM (other chip generations under/over-batch otherwise), with
+# the measured v5e value as the fallback.
+_BYTES_PER_PIXEL_INSTANT = 3500
+_FALLBACK_PIXEL_INSTANT_BUDGET = 3_500_000  # == 0.78 * 15.75 GB / 3.5 KB
+_budget_cache: List[int] = []
+
+
+def _pixel_instant_budget() -> int:
+    if not _budget_cache:
+        budget = _FALLBACK_PIXEL_INSTANT_BUDGET
+        try:
+            stats = jax.devices()[0].memory_stats() or {}
+            limit = stats.get("bytes_limit") or stats.get(
+                "bytes_reservable_limit")
+            if limit:
+                budget = int(limit * 0.78 / _BYTES_PER_PIXEL_INSTANT)
+        except Exception:
+            pass
+        _budget_cache.append(budget)
+    return _budget_cache[0]
 
 
 @dataclasses.dataclass
@@ -170,19 +189,43 @@ class InferenceEngine:
             ))
         return results
 
-    def _effective_t_chunk(self, h, w, m, test_patch=(1, 1)):
+    def _effective_t_chunk(self, h, w, m, test_patch=(1, 1), n_windows=1):
         """User cap if given, else the HBM-derived one (per-tile pixels
-        when the tiled path will split the frame)."""
+        when the tiled path will split the frame; a window batch of N
+        multiplies the pixels per instant by N). Returns 0 when even a
+        single instant of the full window batch exceeds the budget."""
         if self.t_chunk:
             return self.t_chunk
-        px = (h // test_patch[0]) * (w // test_patch[1])
-        cap = max(1, _PIXEL_INSTANT_BUDGET // max(px, 1))
+        px = (h // test_patch[0]) * (w // test_patch[1]) * n_windows
+        cap = _pixel_instant_budget() // max(px, 1)
+        if cap < 1:
+            return 0 if n_windows > 1 else 1
         return cap if cap < m else None
 
     def forward_windows(self, frames: np.ndarray, ts: np.ndarray
                         ) -> List[WindowResult]:
-        """Batched untiled inference: frames [N,4,H,W,3], ts [N,M]."""
-        return self._run(frames, np.asarray(ts, np.float32))
+        """Batched untiled inference: frames [N,4,H,W,3], ts [N,M].
+
+        Applies the same HBM pixel-instant budget as ``forward_window``,
+        scaled by the window multiplicity: the t axis is chunked, and if
+        even one instant of the N-window batch exceeds the budget the
+        windows run individually (through the tiled-capable path)."""
+        ts = np.asarray(ts, np.float32)
+        n, m = ts.shape
+        chunk = self._effective_t_chunk(frames.shape[2], frames.shape[3],
+                                        m, n_windows=n)
+        if chunk == 0:
+            return [self.forward_window(frames[i:i + 1], ts[i])
+                    for i in range(n)]
+        if chunk and m > chunk:
+            parts = [self._run(frames, ts[:, i:i + chunk])
+                     for i in range(0, m, chunk)]
+            return [WindowResult(**{
+                f.name: np.concatenate([getattr(p[wi], f.name)
+                                        for p in parts])
+                for f in dataclasses.fields(WindowResult)})
+                for wi in range(n)]
+        return self._run(frames, ts)
 
     def forward_window(self, frames: np.ndarray, ts: Sequence[float],
                        test_patch: Tuple[int, int] = (1, 1),

@@ -152,16 +152,40 @@ def run_train(cfg: DeMFIConfig) -> None:
     best_psnr = 0.0
     results = (0.0,) * 5 + ("",)
     resume = cfg.fine_tuning or (cfg.auto_resume and em.has("latest"))
+    if pcount > 1:
+        # The resume decision and the restored state must agree across
+        # processes (each host checks its LOCAL disk; without shared
+        # storage only process 0 owns the saves). Process 0 decides and
+        # its loaded state is broadcast to everyone below.
+        from jax.experimental import multihost_utils
+        resume = bool(multihost_utils.broadcast_one_to_all(
+            np.asarray(resume if is_main else False)))
     if resume:
-        if cfg.fine_tuning and cfg.fine_tuning_epoch_point:
-            state_params, opt_state, meta = em.load_epoch(
-                cfg.fine_tuning_epoch_point, state.params, state.opt_state)
-        else:
-            state_params, opt_state, meta = em.load_latest(
-                state.params, state.opt_state)
-        state = dataclasses.replace(
-            state, params=state_params,
-            opt_state=opt_state if opt_state is not None else state.opt_state)
+        meta = {}
+        if is_main or pcount == 1:
+            if cfg.fine_tuning and cfg.fine_tuning_epoch_point:
+                state_params, opt_state, meta = em.load_epoch(
+                    cfg.fine_tuning_epoch_point, state.params, state.opt_state)
+            else:
+                state_params, opt_state, meta = em.load_latest(
+                    state.params, state.opt_state)
+            state = dataclasses.replace(
+                state, params=state_params,
+                opt_state=(opt_state if opt_state is not None
+                           else state.opt_state))
+        if pcount > 1:
+            from jax.experimental import multihost_utils
+            # replicate process-0's restored state and metadata so hosts
+            # without the checkpoint files start from identical weights
+            state = multihost_utils.broadcast_one_to_all(
+                jax.device_get(state))
+            meta_keys = ("last_epoch", "best_PSNR", "testLoss",
+                         "intp_testPSNR", "intp_testSSIM",
+                         "deblur_testPSNR", "deblur_testSSIM")
+            vals = multihost_utils.broadcast_one_to_all(np.asarray(
+                [float(meta.get(k, -1.0 if k == "last_epoch" else 0.0))
+                 for k in meta_keys], np.float64))
+            meta = dict(zip(meta_keys, vals))
         start_epoch = int(meta.get("last_epoch", -1)) + 1
         best_psnr = float(meta.get("best_PSNR", 0.0))
         # carry the loaded metrics until the next validation pass
@@ -230,24 +254,44 @@ def run_train(cfg: DeMFIConfig) -> None:
         from demfi_tpu.data.pipeline import device_prefetch
         from demfi_tpu.train import train_batch_specs
         bspecs = train_batch_specs(mesh) if mesh is not None else None
+        # Debug sheets need HOST numpy of the local batch: with pcount>1
+        # the prefetched arrays are globally-sharded jax.Arrays that
+        # process 0 cannot slice or fetch alone, so tap the loader output
+        # (pre-shard, process-local) at the debug iterations instead.
+        debug_its = {0, cfg.freq_display - 1, (cfg.freq_display - 1) * 2}
+        host_debug = {}
+
+        def _tap(gen):
+            for i, (f, t) in enumerate(gen):
+                if is_main and i in debug_its:
+                    host_debug[i] = (np.asarray(f), np.asarray(t))
+                yield f, t
+
         for it, (frames, ts) in enumerate(
-                device_prefetch(loader.epoch(epoch), mesh, specs=bspecs)):
+                device_prefetch(_tap(loader.epoch(epoch)), mesh,
+                                specs=bspecs)):
             state, m = step(state, frames, ts)
             losses.update(float(m["total_loss"]), 1)
             d1m.update(float(m["rec_D1"]), 1)
             d2m.update(float(m["rec_D2"]), 1)
             btime.update(time.time() - t_last)
             t_last = time.time()
-            if it == cfg.freq_display - 1:
+            # print/log every freq_display iterations, like the reference
+            # (/root/reference/main.py:448-461)
+            if (it + 1) % cfg.freq_display == 0:
                 progress.print(it)
                 if writer:
                     tb = it + epoch * len(loader)
                     writer.add_scalar("trainLoss", losses.val, tb)
                     writer.add_scalar("trainLoss_rec_D1", d1m.val, tb)
                     writer.add_scalar("trainLoss_rec_D2", d2m.val, tb)
-            if is_main and it in (0, cfg.freq_display - 1,
-                                  (cfg.freq_display - 1) * 2):
-                save_debug(epoch, it, frames, ts, state.params)
+            if is_main and it in debug_its:
+                dbg_frames, dbg_ts = host_debug.pop(it)
+                # params are replicated: the host copy is exact and keeps
+                # the debug forward process-local under multi-host
+                dbg_params = (jax.device_get(state.params) if pcount > 1
+                              else state.params)
+                save_debug(epoch, it, dbg_frames, dbg_ts, dbg_params)
 
         if is_main and ((epoch + 1) % cfg.epoch_freq_display == 0
                         or epoch == 0):
@@ -257,7 +301,8 @@ def run_train(cfg: DeMFIConfig) -> None:
             eval_params = (jax.device_get(state.params) if pcount > 1
                            else state.params)
             engine = InferenceEngine(model, eval_params, cfg.N_trn,
-                                     t_chunk=cfg.t_chunk or None)
+                                     t_chunk=cfg.t_chunk or None,
+                                     mesh=mesh if pcount == 1 else None)
             results = evaluate(cfg, engine, multiple=2, epoch=epoch,
                                center_patch=cfg.patch_size,
                                test_type="valid_5_per_scene",
@@ -283,13 +328,21 @@ def run_train(cfg: DeMFIConfig) -> None:
 
     print("-" * 20, "Training has been ended.", "-" * 20)
     print("best_PSNR of model:", best_psnr)
-    engine = InferenceEngine(model, state.params, cfg.N_tst,
-                             t_chunk=cfg.t_chunk or None)
-    evaluate(cfg, engine, multiple=cfg.multiple_MFI, epoch=cfg.epochs - 1,
-             post_fix=f"_final_x{cfg.multiple_MFI}_full_resolution"
-                      f"_Ntst{cfg.N_tst}",
-             test_patch=cfg.test_patch, writer=writer,
-             window_batch=cfg.eval_window_batch)
+    # final full-resolution evaluation mirrors the validation path:
+    # process 0 only, with a host copy of the replicated params (feeding
+    # mesh-committed arrays into a process-local engine raises)
+    if is_main:
+        eval_params = (jax.device_get(state.params) if pcount > 1
+                       else state.params)
+        engine = InferenceEngine(model, eval_params, cfg.N_tst,
+                                 t_chunk=cfg.t_chunk or None,
+                                 mesh=mesh if pcount == 1 else None)
+        evaluate(cfg, engine, multiple=cfg.multiple_MFI,
+                 epoch=cfg.epochs - 1,
+                 post_fix=f"_final_x{cfg.multiple_MFI}_full_resolution"
+                          f"_Ntst{cfg.N_tst}",
+                 test_patch=cfg.test_patch, writer=writer,
+                 window_batch=cfg.eval_window_batch)
 
 
 def _load_eval_params(cfg):
@@ -320,10 +373,15 @@ def _load_eval_params(cfg):
 def run_test(cfg: DeMFIConfig) -> None:
     from demfi_tpu.infer import InferenceEngine
     from demfi_tpu.infer.driver import evaluate
+    from demfi_tpu.parallel import make_mesh
 
     model, params = _load_eval_params(cfg)
+    # --mesh_data/--mesh_spatial shard eval windows / frame rows across
+    # chips (the reference's serial tile loop, utils.py:1389-1450, runs
+    # as SPMD instead)
+    mesh = make_mesh(cfg.mesh_data, cfg.mesh_spatial)
     engine = InferenceEngine(model, params, cfg.N_tst,
-                             t_chunk=cfg.t_chunk or None)
+                             t_chunk=cfg.t_chunk or None, mesh=mesh)
     print(f"Evaluating on {cfg.test_data_path} with multiple = "
           f"{cfg.multiple_MFI} with full resolution")
     evaluate(cfg, engine, multiple=cfg.multiple_MFI,
@@ -336,10 +394,12 @@ def run_test(cfg: DeMFIConfig) -> None:
 def run_test_custom(cfg: DeMFIConfig) -> None:
     from demfi_tpu.infer import InferenceEngine
     from demfi_tpu.infer.driver import evaluate_custom
+    from demfi_tpu.parallel import make_mesh
 
     model, params = _load_eval_params(cfg)
+    mesh = make_mesh(cfg.mesh_data, cfg.mesh_spatial)
     engine = InferenceEngine(model, params, cfg.N_tst,
-                             t_chunk=cfg.t_chunk or None)
+                             t_chunk=cfg.t_chunk or None, mesh=mesh)
     print(f"Evaluating on {cfg.custom_path} with multiple = "
           f"{cfg.multiple_MFI}")
     evaluate_custom(cfg, engine, multiple=cfg.multiple_MFI,

@@ -284,36 +284,67 @@ class Mixer(nn.Module):
         return nn.relu(_conv(nf, 3, dtype=self.dtype, name="conv_blend2")(h))
 
 
+class _ConvParams(nn.Module):
+    """Parameter-only conv holder: declares ``kernel``/``bias`` exactly as
+    ``nn.Conv`` would (same names, shapes, initializers) so the checkpoint
+    converter's mechanical torch<->flax mapping is unaffected, while the
+    owning module is free to fuse/split the actual convolutions."""
+    features: int
+    kshape: Tuple[int, int]
+    in_features: int
+
+    @nn.compact
+    def __call__(self) -> Tuple[Array, Array]:
+        k = self.param("kernel", _init,
+                       self.kshape + (self.in_features, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
 class SepConvGRU(nn.Module):
-    """RAFT-style separable ConvGRU (DeMFInet.py:827-857)."""
+    """RAFT-style separable ConvGRU (DeMFInet.py:827-857).
+
+    TPU fusion (exact math, same parameter tree): the z and r gates read
+    the same ``[h, x]`` input, so their kernels are concatenated on the
+    output axis and computed in ONE conv pass; and every conv on a
+    concatenated input is split into per-operand convs summed afterwards
+    (``conv(concat(h, x), K) == conv(h, K[:, :, :hd]) + conv(x, K[:, :, hd:])``),
+    which avoids materializing the [B,H,W,2*h_dim] ``hx`` concats to HBM.
+    Measured on v5e: the booster's GRU slice was elementwise/HBM-bound,
+    not MXU-bound (ROUND2_NOTES.md stage budget)."""
     h_dim: int
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, h: Array, x: Array) -> Array:
         prec = jax.lax.Precision.HIGHEST if self.dtype == jnp.float32 else None
+        hd = self.h_dim
+        dn = ("NHWC", "HWIO", "NHWC")
 
-        def conv1x5(name):
-            return nn.Conv(self.h_dim, (1, 5), padding=((0, 0), (2, 2)),
-                           kernel_init=_init, dtype=self.dtype,
-                           precision=prec, name=name)
+        def conv(inp, k, pad):
+            return jax.lax.conv_general_dilated(
+                inp.astype(self.dtype), k.astype(self.dtype), (1, 1),
+                (pad[0], pad[1]), dimension_numbers=dn, precision=prec)
 
-        def conv5x1(name):
-            return nn.Conv(self.h_dim, (5, 1), padding=((2, 2), (0, 0)),
-                           kernel_init=_init, dtype=self.dtype,
-                           precision=prec, name=name)
+        def half(h, x, names, kshape, pad):
+            kz, bz = _ConvParams(hd, kshape, 2 * hd, name=names[0])()
+            kr, br = _ConvParams(hd, kshape, 2 * hd, name=names[1])()
+            kq, bq = _ConvParams(hd, kshape, 2 * hd, name=names[2])()
+            kzr = jnp.concatenate([kz, kr], axis=-1)
+            bzr = jnp.concatenate([bz, br]).astype(self.dtype)
+            zr = (conv(h, kzr[:, :, :hd], pad) + conv(x, kzr[:, :, hd:], pad)
+                  + bzr)
+            z = nn.sigmoid(zr[..., :hd])
+            r = nn.sigmoid(zr[..., hd:])
+            q = jnp.tanh(conv(r * h, kq[:, :, :hd], pad)
+                         + conv(x, kq[:, :, hd:], pad)
+                         + bq.astype(self.dtype))
+            return (1.0 - z) * h + z * q
 
-        hx = jnp.concatenate([h, x], axis=-1)
-        z = nn.sigmoid(conv1x5("convz1")(hx))
-        r = nn.sigmoid(conv1x5("convr1")(hx))
-        q = jnp.tanh(conv1x5("convq1")(jnp.concatenate([r * h, x], axis=-1)))
-        h = (1.0 - z) * h + z * q
-
-        hx = jnp.concatenate([h, x], axis=-1)
-        z = nn.sigmoid(conv5x1("convz2")(hx))
-        r = nn.sigmoid(conv5x1("convr2")(hx))
-        q = jnp.tanh(conv5x1("convq2")(jnp.concatenate([r * h, x], axis=-1)))
-        return (1.0 - z) * h + z * q
+        h = half(h, x, ("convz1", "convr1", "convq1"), (1, 5),
+                 ((0, 0), (2, 2)))
+        return half(h, x, ("convz2", "convr2", "convq2"), (5, 1),
+                    ((2, 2), (0, 0)))
 
 
 class FlowOcc(nn.Module):

@@ -33,7 +33,10 @@ Addressing modes:
                    (bwarp). Window = output band +- vr rows, +-128 cols.
   relative=False : coordinates cluster near the image origin (the FGAC
                    absolute-coordinate quirk, DeMFInet.py:413-419).
-                   Window = rows [-8, span), cols [-128, 256).
+                   Window = rows [-slab_rows, span_al) where span_al is
+                   the span rounded up to a slab multiple (the sweep
+                   starts one full slab above the origin), cols
+                   [-128, 256).
 """
 from __future__ import annotations
 
