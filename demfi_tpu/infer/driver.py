@@ -268,7 +268,12 @@ def evaluate(cfg: DeMFIConfig, engine: InferenceEngine, multiple: int,
                     sts_gt[j], res.flow_init[j], res.flow_final[j],
                     res.occ0_init[j], res.occ0_final[j],
                     res.blend_w0[j], res.blend_w1[j],
-                    res.diff_10[j], res.diff_01[j])
+                    res.diff_10[j], res.diff_01[j],
+                    fgac_10=(res.fgac_src_10[j], res.fgac_ref_10[j],
+                             res.fgac_warp_10[j], res.fgac_fcw_10[j]),
+                    fgac_01=(res.fgac_src_01[j], res.fgac_ref_01[j],
+                             res.fgac_warp_01[j], res.fgac_fcw_01[j]),
+                    flow_01=res.flow_01[j], flow_10=res.flow_10[j])
                 cv2.imwrite(os.path.join(
                     viz_dir, os.path.basename(it.st_path)), grid)
 
@@ -340,6 +345,11 @@ def evaluate_custom(cfg: DeMFIConfig, engine: InferenceEngine,
                     res.flow_init[j], res.flow_final[j],
                     res.occ0_init[j], res.occ0_final[j],
                     res.blend_w0[j], res.blend_w1[j],
-                    res.diff_10[j], res.diff_01[j])
+                    res.diff_10[j], res.diff_01[j],
+                    fgac_10=(res.fgac_src_10[j], res.fgac_ref_10[j],
+                             res.fgac_warp_10[j], res.fgac_fcw_10[j]),
+                    fgac_01=(res.fgac_src_01[j], res.fgac_ref_01[j],
+                             res.fgac_warp_01[j], res.fgac_fcw_01[j]),
+                    flow_01=res.flow_01[j], flow_10=res.flow_10[j])
                 cv2.imwrite(os.path.join(viz_dir, it.st_path), grid)
     print(" Average Inference Time per Window:", batch_time.avg)

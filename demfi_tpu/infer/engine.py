@@ -74,6 +74,20 @@ class WindowResult:
     blend_w1: np.ndarray
     diff_10: np.ndarray    # [T,H,W,1] FGAC difference maps
     diff_01: np.ndarray
+    # --visualization_flag FGAC internals (zeros unless the model was
+    # built with viz_internals): normalized source key / init ref key /
+    # aggregated E_s / bolstered ("FCW") per direction, plus the
+    # bidirectional flows for the FCW-flow panels
+    fgac_src_10: np.ndarray = None   # [T,H,W,1]
+    fgac_ref_10: np.ndarray = None
+    fgac_warp_10: np.ndarray = None
+    fgac_fcw_10: np.ndarray = None
+    fgac_src_01: np.ndarray = None
+    fgac_ref_01: np.ndarray = None
+    fgac_warp_01: np.ndarray = None
+    fgac_fcw_01: np.ndarray = None
+    flow_01: np.ndarray = None       # [T,H,W,2]
+    flow_10: np.ndarray = None
 
 
 def _pad_reflect_to_multiple(frames: np.ndarray, m: int) -> Tuple[np.ndarray, int, int]:
@@ -168,9 +182,28 @@ class InferenceEngine:
         def last_iter(x, fallback):  # [K, N*M, ...] -> [N, M, ...]
             return per_t(x[-1]) if x.shape[0] else per_t(fallback)
 
+        if out.viz_stacks:
+            (s10, s01, vflows) = out.viz_stacks
+            viz = dict(
+                fgac_src_10=s10[0], fgac_ref_10=s10[1],
+                fgac_warp_10=s10[2], fgac_fcw_10=s10[3],
+                fgac_src_01=s01[0], fgac_ref_01=s01[1],
+                fgac_warp_01=s01[2], fgac_fcw_01=s01[3],
+                flow_01=vflows[0], flow_10=vflows[1])
+        else:
+            shp = out.st_prime.shape[:-1]
+            z1 = np.zeros(shp + (1,), np.float32)
+            z2 = np.zeros(shp + (2,), np.float32)
+            viz = dict(fgac_src_10=z1, fgac_ref_10=z1, fgac_warp_10=z1,
+                       fgac_fcw_10=z1, fgac_src_01=z1, fgac_ref_01=z1,
+                       fgac_warp_01=z1, fgac_fcw_01=z1,
+                       flow_01=z2, flow_10=z2)
+
         results = []
         for i in range(n):
             results.append(WindowResult(
+                **{k: per_t(np.asarray(v, np.float32))[i]
+                   for k, v in viz.items()},
                 s0_prime=per_t(out.s0_prime)[i],
                 s1_prime=per_t(out.s1_prime)[i],
                 st_prime=per_t(out.st_prime)[i],
@@ -264,7 +297,11 @@ class InferenceEngine:
         fields = {f.name: canvas({"flow_init": 4, "flow_final": 4,
                                   "occ0_init": 1, "occ0_final": 1,
                                   "blend_w0": 1, "blend_w1": 1,
-                                  "diff_10": 1, "diff_01": 1}.get(f.name, 3))
+                                  "diff_10": 1, "diff_01": 1,
+                                  "flow_01": 2, "flow_10": 2,
+                                  }.get(f.name,
+                                        1 if f.name.startswith("fgac_")
+                                        else 3))
                   for f in dataclasses.fields(WindowResult)}
 
         # group same-shape tiles (interior tiles share a shape) and run

@@ -180,11 +180,12 @@ class FGAC(nn.Module):
     nf: int
     rr: int = 0
     sr: int = 0
+    viz: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, ref: Array, source: Array, flow_s2r: Array
-                 ) -> Tuple[Array, Array, Array]:
+                 ) -> Tuple[Array, Array, Array, Tuple[Array, ...]]:
         ref_k = _conv(self.nf, 1, dtype=self.dtype, name="conv_ref_k")(ref)
         source_k = _conv(self.nf, 1, dtype=self.dtype, name="conv_source_k")(source)
 
@@ -200,7 +201,19 @@ class FGAC(nn.Module):
 
         diff = _minmax_norm(jnp.mean(jnp.abs(bolstered - source), axis=-1,
                                      keepdims=True))
-        return bolstered, w, diff
+        if self.viz:
+            # min-max-normalized mean-|.| single-channel views of the
+            # FGAC internals for the --visualization_flag grid
+            # (DeMFInet.py:464-494): source key feature, initial ref key,
+            # aggregated E_s ("final_warped_r2s"), bolstered ("FCW")
+            def norm1(v):
+                return _minmax_norm(jnp.mean(jnp.abs(
+                    v.astype(jnp.float32)), axis=-1, keepdims=True))
+            extras = (norm1(source), norm1(ref_k), norm1(e_s),
+                      norm1(bolstered))
+        else:
+            extras = ()
+        return bolstered, w, diff, extras
 
 
 class FACFB(nn.Module):
@@ -210,6 +223,7 @@ class FACFB(nn.Module):
     shared: bool = True
     rr: int = 0
     sr: int = 0
+    viz: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -223,15 +237,18 @@ class FACFB(nn.Module):
         enc0, enc1 = enc[:, 0], enc[:, 1]
 
         if self.shared:
-            fgac = FGAC(self.nf, self.rr, self.sr, self.dtype, name="shared_FGAC")
-            a_f0, bw0, d10 = fgac(enc1, enc0, flow_01)   # F1 -> F0
-            a_f1, bw1, d01 = fgac(enc0, enc1, flow_10)   # F0 -> F1
+            fgac = FGAC(self.nf, self.rr, self.sr, self.viz, self.dtype,
+                        name="shared_FGAC")
+            a_f0, bw0, d10, x10 = fgac(enc1, enc0, flow_01)   # F1 -> F0
+            a_f1, bw1, d01, x01 = fgac(enc0, enc1, flow_10)   # F0 -> F1
         else:
-            a_f0, bw0, d10 = FGAC(self.nf, self.rr, self.sr, self.dtype,
-                                  name="FGAC_F1toF0")(enc1, enc0, flow_01)
-            a_f1, bw1, d01 = FGAC(self.nf, self.rr, self.sr, self.dtype,
-                                  name="FGAC_F0toF1")(enc0, enc1, flow_10)
-        return a_f0, a_f1, (bw0, bw1), (d10, d01)
+            a_f0, bw0, d10, x10 = FGAC(self.nf, self.rr, self.sr, self.viz,
+                                       self.dtype,
+                                       name="FGAC_F1toF0")(enc1, enc0, flow_01)
+            a_f1, bw1, d01, x01 = FGAC(self.nf, self.rr, self.sr, self.viz,
+                                       self.dtype,
+                                       name="FGAC_F0toF1")(enc0, enc1, flow_10)
+        return a_f0, a_f1, (bw0, bw1), (d10, d01), (x10, x01)
 
 
 class RefineUNet(nn.Module):
@@ -390,6 +407,10 @@ class DeMFIOutputs:
     ovlp_b0b1: Array         # [B,H,W,3]
     diff_maps: Tuple[Array, Array]        # (diff_1to0, diff_0to1)
     blend_weights: Tuple[Array, Array]    # FGAC gate maps (w_F0, w_F1)
+    # --visualization_flag FGAC internals (DeMFInet.py:464-494): per
+    # direction (1to0, 0to1) a tuple of normalized 1-channel maps
+    # (source_v, init_ref_k, E_s, bolstered/"FCW"); () when disabled
+    viz_stacks: Tuple = ()
 
 
 @flax.struct.dataclass
@@ -405,6 +426,7 @@ class StageIContext:
     blend_weights: Tuple[Array, Array]
     diff_maps: Tuple[Array, Array]
     frames: Array            # [B,H,W,12] (B0,B1,Bm1,B2)
+    viz_stacks: Tuple = ()
 
 
 # --------------------------------------------------------------------------
@@ -431,6 +453,9 @@ class DeMFINet(nn.Module):
     # rematerialize the RDB backbone in the backward pass (trades FLOPs
     # for HBM during training)
     remat: bool = False
+    # carry normalized FGAC internals for --visualization_flag
+    # (extra outputs; off on the hot path)
+    viz_internals: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -440,7 +465,8 @@ class DeMFINet(nn.Module):
                                        name="FF_RDB_Module")
         self.FAC_FB_Module = FACFB(self.nf, self.num_res_facfb,
                                    self.shared_fgac, self.fgac_rr,
-                                   self.fgac_sr, dtype=self.dtype,
+                                   self.fgac_sr, self.viz_internals,
+                                   dtype=self.dtype,
                                    name="FAC_FB_Module")
         self.Refine_Module = RefineUNet(self.nf, dtype=self.dtype,
                                         name="Refine_Module")
@@ -474,9 +500,14 @@ class DeMFINet(nn.Module):
         assert t == 4, f"expected 4 input frames, got {t}"
         cat = frames.transpose(0, 2, 3, 1, 4).reshape(b, h, w, t * c)
         f0, f1, flow_01, flow_10, occ = self.FF_RDB_Module(cat)
-        a_f0, a_f1, bws, diffs = self.FAC_FB_Module(f0, f1, flow_10, flow_01)
+        a_f0, a_f1, bws, diffs, stacks = self.FAC_FB_Module(
+            f0, f1, flow_10, flow_01)
+        # per-direction FGAC internals + the bidirectional flows the
+        # reference appends as the "FCW flow" panels (DeMFInet.py:168)
+        viz_stacks = (stacks + ((flow_01, flow_10),)
+                      if self.viz_internals else ())
         return StageIContext(f0, f1, flow_01, flow_10, occ, a_f0, a_f1,
-                             bws, diffs, cat)
+                             bws, diffs, cat, viz_stacks)
 
     # ------------------------------------------------------ t-dependent
     def synthesize(self, ctx: StageIContext, t_value: Array,
@@ -576,6 +607,7 @@ class DeMFINet(nn.Module):
             ovlp_b0b1=(b0 + b1) / 2.0,
             diff_maps=ctx.diff_maps,
             blend_weights=ctx.blend_weights,
+            viz_stacks=ctx.viz_stacks,
         )
 
     def _boost_step(self, carry, const):
@@ -639,5 +671,6 @@ def make_model(cfg: DeMFIConfig) -> DeMFINet:
         use_stage2=max(cfg.N_trn, cfg.N_tst) > 0,
         scan_booster=cfg.scan_booster,
         remat=cfg.remat_backbone,
+        viz_internals=cfg.visualization_flag,
         dtype=dtype,
     )

@@ -139,34 +139,71 @@ def train_debug_sheet(frames_gt: np.ndarray, t_value: np.ndarray,
     return make_grid(rows)
 
 
+def _norm_gray_u8(x_hw1: np.ndarray) -> np.ndarray:
+    """Min-max-normalized single-channel map -> uint8 gray (the
+    reference's rows-1/2 error panels, utils.py:980-1000)."""
+    v = x_hw1[..., 0].astype(np.float64)
+    v = v - v.min()
+    mx = v.max()
+    if mx > 0:
+        v = v / mx
+    v = (v * 255).astype(np.uint8)
+    return np.stack([v, v, v], axis=-1)
+
+
 def eval_visualization(ovlp: np.ndarray, st_prime: np.ndarray,
                        st_final: np.ndarray, st_gt: Optional[np.ndarray],
                        flow_init: np.ndarray, flow_final: np.ndarray,
                        occ_init: np.ndarray, occ_final: np.ndarray,
                        blend_w0: np.ndarray, blend_w1: np.ndarray,
-                       diff_10: np.ndarray, diff_01: np.ndarray
+                       diff_10: np.ndarray, diff_01: np.ndarray,
+                       fgac_10: Optional[Sequence[np.ndarray]] = None,
+                       fgac_01: Optional[Sequence[np.ndarray]] = None,
+                       flow_01: Optional[np.ndarray] = None,
+                       flow_10: Optional[np.ndarray] = None
                        ) -> np.ndarray:
-    """--visualization_flag component grid (reference visualizations,
-    utils.py:874-1235): 3x10 layout — row 0: overlay, St'(D1), St(D2),
-    GT, flow_t0 init/final colorings, occ init/final, error maps;
-    rows 1-2: FGAC gate/diff internals per direction."""
+    """--visualization_flag component grid (reference ``visualizations``,
+    utils.py:874-1053): 3x10 layout.
+
+      row 0: overlay, St'(D1), St(D2), GT, flow_t0 init/final colorings,
+             occ init/final, raw |err| maps (prime, final)
+      row 1 (1to0): w, 1-w, source_v, init_ref_k, E_s("warped"),
+             flow_01 coloring, diff_1to0, FCW, normalized err maps
+      row 2 (0to1): same with the 0to1 tensors and flow_10
+
+    ``fgac_10``/``fgac_01`` are the (source_v, init_ref_k, E_s, FCW)
+    normalized 1-channel stacks from the model's ``viz_internals`` mode;
+    cells fall back to blank when they're absent (model ran without
+    visualization outputs)."""
     h, w = ovlp.shape[:2]
     blank = np.zeros((h, w, 3), np.uint8)
     gt_cell = _to_u8(st_gt) if st_gt is not None else blank
-    err_p = (_gray_u8(np.mean(np.abs(st_prime - st_gt), -1, keepdims=True))
-             if st_gt is not None else blank)
-    err_f = (_gray_u8(np.mean(np.abs(st_final - st_gt), -1, keepdims=True))
-             if st_gt is not None else blank)
+    err_p = err_f = err_pn = err_fn = blank
+    if st_gt is not None:
+        ep = np.mean(np.abs(st_prime - st_gt), -1, keepdims=True)
+        ef = np.mean(np.abs(st_final - st_gt), -1, keepdims=True)
+        err_p, err_f = _gray_u8(ep), _gray_u8(ef)
+        # rows 1-2 repeat the error maps min-max normalized
+        # (utils.py:980-1000)
+        err_pn, err_fn = _norm_gray_u8(ep), _norm_gray_u8(ef)
     row0 = [_to_u8(ovlp), _to_u8(st_prime), _to_u8(st_final), gt_cell,
             flow_to_color(flow_init[..., :2]),
             flow_to_color(flow_final[..., :2]),
             _gray_u8(occ_init), _gray_u8(occ_final), err_p, err_f]
-    row1 = [_gray_u8(blend_w0), _gray_u8(1.0 - blend_w0),
-            _gray_u8(diff_10),
-            flow_to_color(flow_init[..., 2:]),
-            flow_to_color(flow_final[..., 2:]),
-            blank, blank, blank, blank, blank]
-    row2 = [_gray_u8(blend_w1), _gray_u8(1.0 - blend_w1),
-            _gray_u8(diff_01), blank, blank, blank, blank, blank, blank,
-            blank]
+
+    def fgac_row(bw, stack, flow, diff):
+        cells = [_gray_u8(bw), _gray_u8(1.0 - bw)]
+        if stack is not None:
+            cells += [_gray_u8(stack[0]), _gray_u8(stack[1]),
+                      _gray_u8(stack[2])]
+        else:
+            cells += [blank, blank, blank]
+        cells.append(flow_to_color(flow) if flow is not None else blank)
+        cells.append(_gray_u8(diff))
+        cells.append(_gray_u8(stack[3]) if stack is not None else blank)
+        cells += [err_pn, err_fn]
+        return cells
+
+    row1 = fgac_row(blend_w0, fgac_10, flow_01, diff_10)
+    row2 = fgac_row(blend_w1, fgac_01, flow_10, diff_01)
     return make_grid([row0, row1, row2])
