@@ -119,9 +119,12 @@ class DeMFIConfig:
     # Remat (checkpoint) the RDB backbone during training to trade FLOPs
     # for HBM.
     remat_backbone: bool = False
-    # Compute the tOF temporal-consistency metric during eval (paper
-    # metric; absent from the reference code).
-    compute_tOF: bool = False
+    # EXPERIMENTAL: compute a tOF-style temporal-consistency number
+    # during eval. Table 2 of the paper reports tOF but the released
+    # reference code never computes it; this Farneback-based definition
+    # (metrics.tof_pair) has NOT been validated against any published
+    # number and is not claimed to reproduce the paper's metric.
+    experimental_tof: bool = False
     seed: int = 0
 
     @property

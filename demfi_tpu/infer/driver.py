@@ -218,7 +218,7 @@ def evaluate(cfg: DeMFIConfig, engine: InferenceEngine, multiple: int,
             losses.update(cfg.rec_D2_lambda
                           * rec(res.st_final[j], sts_gt[j]), 1)
 
-            if cfg.compute_tOF:
+            if cfg.experimental_tof:
                 from demfi_tpu.metrics import tof_pair
                 if prev_pred_st is not None:
                     tof_meter.update(tof_pair(prev_pred_st, res.st_final[j],
@@ -294,8 +294,8 @@ def evaluate(cfg: DeMFIConfig, engine: InferenceEngine, multiple: int,
         ps = ProgressPrinter(n_windows, *total[k].ssim.values(),
                              prefix=f"[SSIM {stage} (7 intp, 1 dblr)] :")
         ps.print(n_windows)
-    if cfg.compute_tOF:
-        print(" tOF (temporal optical-flow consistency):", tof_meter.avg)
+    if cfg.experimental_tof:
+        print(" tOF (EXPERIMENTAL, unvalidated definition):", tof_meter.avg)
     print(" Average Inference Time per Window:", batch_time.avg)
     return (losses.avg, intp_psnr["final"].avg, intp_ssim["final"].avg,
             deblur_psnr["final"].avg, deblur_ssim["final"].avg, save_root)

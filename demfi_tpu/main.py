@@ -90,7 +90,11 @@ def parse_args(argv=None) -> DeMFIConfig:
     p.add_argument("--auto_resume", action="store_true",
                    help="resume from the latest checkpoint if one exists "
                         "(elastic restart after crash/preemption)")
-    p.add_argument("--compute_tOF", action="store_true")
+    p.add_argument("--experimental_tof", "--compute_tOF",
+                   dest="experimental_tof", action="store_true",
+                   help="EXPERIMENTAL tOF-style metric (not validated "
+                        "against the paper's Table 2 numbers; the "
+                        "reference code never computes tOF)")
     p.add_argument("--eval_window_batch", type=int, default=d.eval_window_batch)
     p.add_argument("--t_chunk", type=int, default=d.t_chunk)
     p.add_argument("--pallas_vr", type=int, default=d.pallas_vr,

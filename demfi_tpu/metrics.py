@@ -104,10 +104,15 @@ def to_png_uint8(img_hwc_bgr: np.ndarray) -> np.ndarray:
 
 def tof_pair(pred_prev: np.ndarray, pred_cur: np.ndarray,
              gt_prev: np.ndarray, gt_cur: np.ndarray) -> float:
-    """tOF: temporal optical-flow consistency (Table 2 reports it; the
-    reference code does not compute it, so this follows the TecoGAN
-    definition the paper cites: mean |OF(pred_prev, pred_cur) -
-    OF(gt_prev, gt_cur)|_1 with Farneback flow on grayscale [0,255]).
+    """EXPERIMENTAL tOF-style temporal consistency.
+
+    Table 2 of the paper reports tOF, but the released reference code
+    never computes it, so there is no oracle to match. This follows the
+    TecoGAN-style definition (mean |OF(pred_prev, pred_cur) -
+    OF(gt_prev, gt_cur)|_1 with Farneback flow on grayscale [0, 255]);
+    it has NOT been validated against any published number — treat the
+    absolute values as relative-comparison-only. Exposed via
+    --experimental_tof.
 
     Inputs are [H,W,C] BGR in [-1,1].
     """

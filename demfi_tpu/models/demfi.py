@@ -76,7 +76,14 @@ def _t_blend(a: Array, b: Array, occ_0: Array, t: Array) -> Array:
     the warp gathers miscompiles at >=352x640 f32 (NaNs in ~4% of
     elements from mathematically-bounded inputs; bisected 2026-08-17,
     ROUND2_NOTES.md "f32 NaN"). broadcast_to is semantically identity
-    and dodges the bad fusion on every size tested."""
+    and dodges the bad fusion on every size tested. For float32 the
+    warped operands additionally pass through an optimization_barrier:
+    the residual in-model NaN was context-sensitive (the same subgraph
+    compiled clean in isolation), so the gather producers must not be
+    fused into the blend at all. bf16 — the serving default — was never
+    affected and keeps the fully fused path."""
+    if a.dtype == jnp.float32 and b.dtype == jnp.float32:
+        a, b = jax.lax.optimization_barrier((a, b))
     occ_0 = jnp.broadcast_to(occ_0, a.shape)
     t = jnp.broadcast_to(t, a.shape)
     occ_1 = 1.0 - occ_0

@@ -435,9 +435,13 @@ def _fwarp_shift_kernel(*refs, C: int, block_rows: int, D: int, d_al: int,
             axis=1)                          # [8, 384, 2+C]
         # raw DISPLACEMENTS (not absolute targets): floor(x + d) - x can
         # differ from floor(d) when the f32 sum rounds across an integer
-        # — the reference buckets by floor(d) (DeMFInet.py:654-680)
-        dyf = packed[..., 0]
-        dxf = packed[..., 1]
+        # — the reference buckets by floor(d) (DeMFInet.py:654-680).
+        # All coordinate/mask tensors stay 3-D keepdim [8, 384, 1]:
+        # a 2-D squeezed mask re-broadcast via [..., None] lowers to a
+        # gather Mosaic rejects ("Shape mismatch in input, indices and
+        # output" — bisected 2026-08-17, scripts/mosaic_bisect.py).
+        dyf = packed[..., 0:1]
+        dxf = packed[..., 1:2]
         vals = packed[..., 2:]
         slab_lo = -d_al + 8 * k              # python int, rows rel. to r0
         gy = jnp.floor(dyf)
@@ -455,7 +459,7 @@ def _fwarp_shift_kernel(*refs, C: int, block_rows: int, D: int, d_al: int,
         def _(vals=vals, r1=r1, c1=c1, wy=wy, wx=wx, slab_lo=slab_lo):
             mx = {dx: jnp.where(c1 == dx, wx[0], 0.0)
                   + jnp.where(c1 == dx - 1, wx[1], 0.0)
-                  for dx in range(-D, D + 2)}
+                  for dx in range(-D, D + 2)}       # each [8, 384, 1]
             for dy in range(-D, D + 2):
                 rel = slab_lo + dy           # static output row of row 0
                 lo = max(rel, 0)
@@ -468,8 +472,8 @@ def _fwarp_shift_kernel(*refs, C: int, block_rows: int, D: int, d_al: int,
                       + jnp.where(r1[o0:o1] == dy - 1, wy[1][o0:o1], 0.0))
                 for dx in range(-D, D + 2):
                     sl = slice(LANES - dx, 2 * LANES - dx)
-                    m2 = my[:, sl] * mx[dx][o0:o1, sl]
-                    out_ref[0, lo:hi] += vals[o0:o1, sl, :] * m2[..., None]
+                    m2 = my[:, sl, :] * mx[dx][o0:o1, sl, :]  # [n,128,1]
+                    out_ref[0, lo:hi] += vals[o0:o1, sl, :] * m2
 
 
 @functools.partial(jax.jit, static_argnames=("D", "block_rows"))

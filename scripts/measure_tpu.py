@@ -212,6 +212,31 @@ def main():
         put(f"window_x8_{tag}_ms", dtw * 1000)
         put(f"fps_{tag}", 7.0 / dtw)
 
+    if "f32check" in sections:
+        # On-chip golden-class probe for the round-2 f32 fusion
+        # miscompile (ROUND2_NOTES.md "Open bug"): a full x8 window at
+        # 352x640 float32 must produce finite Stage-II outputs. Run
+        # whenever the toolchain bumps; a regression fails loudly here
+        # instead of silently poisoning PSNR.
+        cfg = config_rb(5, 3, compute_dtype="float32")
+        model = make_model(cfg)
+        params = model.init(jax.random.PRNGKey(0), frames[:, :, :64, :64],
+                            jnp.zeros((1, 1)), num_update=1)
+
+        def window_full(p, f, ts):
+            ctx = model.apply(p, f, method=model.extract)
+            ctx = jax.tree_util.tree_map(
+                lambda x: jnp.repeat(x, ts.shape[0], axis=0), ctx)
+            return model.apply(p, ctx, ts[:, None], 3,
+                               method=model.synthesize)
+
+        out = jax.jit(window_full)(params, frames, ts7)
+        bad = {
+            name: int(jnp.sum(~jnp.isfinite(getattr(out, name))))
+            for name in ("st_prime", "st_final", "s0_final", "s1_final")}
+        put(f"f32_{h}x{w}_nonfinite_counts", bad)
+        put(f"f32_{h}x{w}_finite", all(v == 0 for v in bad.values()))
+
     print(json.dumps(report, indent=1))
     if args.out:
         with open(args.out, "w") as f:
