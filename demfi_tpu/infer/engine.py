@@ -153,20 +153,32 @@ class InferenceEngine:
             return model.apply(variables, ctx, ts.reshape(n * m, 1),
                                num_update, method=model.synthesize)
 
-        if mesh is None:
-            self._forward = jax.jit(forward)
-        else:
+        self.mesh = mesh
+        self._jit_forward = jax.jit(forward)
+        if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
-            data = "data" if "data" in mesh.axis_names else None
-            spatial = ("spatial" if "spatial" in mesh.axis_names
-                       and mesh.shape.get("spatial", 1) > 1 else None)
-            self._forward = jax.jit(
-                forward,
-                in_shardings=(
-                    NamedSharding(mesh, P()),
-                    NamedSharding(mesh, P(data, None, spatial, None, None)),
-                    NamedSharding(mesh, P(data, None)),
-                ))
+            self._params_sharded = jax.device_put(
+                variables, NamedSharding(mesh, P()))
+
+        def dispatch(variables, frames, ts):
+            if mesh is None:
+                return self._jit_forward(variables, frames, ts)
+            # Per-call shardings: shard each axis only when it divides
+            # (a single full-frame window can't split over 'data'; it
+            # still spreads rows over 'spatial' — XLA SPMD inserts the
+            # conv halo exchanges).
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            n, _, hh, _, _ = frames.shape
+            nd = mesh.shape.get("data", 1)
+            ns = mesh.shape.get("spatial", 1)
+            data = "data" if (nd > 1 and n % nd == 0) else None
+            spatial = "spatial" if (ns > 1 and hh % ns == 0) else None
+            frames = jax.device_put(
+                frames, NamedSharding(mesh, P(data, None, spatial)))
+            ts = jax.device_put(ts, NamedSharding(mesh, P(data)))
+            return self._jit_forward(self._params_sharded, frames, ts)
+
+        self._forward = dispatch
 
     # -------------------------------------------------------------- core
     def _run(self, frames: np.ndarray, ts: np.ndarray) -> List[WindowResult]:

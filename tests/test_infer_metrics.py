@@ -176,8 +176,10 @@ def test_auto_t_chunk_equals_unchunked(engine, monkeypatch):
     full = eng.forward_window(frames, ts)
 
     # shrink the budget so 64x64 allows only 2 instants per batch
-    monkeypatch.setattr(E, "_PIXEL_INSTANT_BUDGET", 2 * 64 * 64)
+    monkeypatch.setattr(E, "_budget_cache", [2 * 64 * 64])
     assert eng._effective_t_chunk(64, 64, 4) == 2
+    # ...and a 4-window batch at the same budget exceeds it entirely
+    assert eng._effective_t_chunk(64, 64, 4, n_windows=4) == 0
     chunked = eng.forward_window(frames, ts)
     for name in ("st_final", "st_prime", "flow_final", "occ0_final"):
         np.testing.assert_allclose(getattr(chunked, name),
