@@ -17,8 +17,9 @@ t0=time.time(); y=jax.jit(lambda a:a+1)(jnp.ones((8,8)))
 print('TPU alive:', float(np.asarray(y).sum()), f'{time.time()-t0:.1f}s')
 print(jax.devices())" || { echo "TPU unhealthy; aborting"; exit 1; }
 
-echo "--- measurement suite (352x640)"
-timeout 3000 python scripts/measure_tpu.py --res 352x640 \
+echo "--- measurement suite (352x640, incl. on-chip golden probe + f32 NaN check)"
+timeout 3600 python scripts/measure_tpu.py --res 352x640 \
+    --sections basic,ops,pallas,model,golden,f32check \
     --out "$OUT/measure.json" || echo "measure failed (continuing)"
 
 echo "--- bench bf16 352x640"

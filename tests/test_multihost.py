@@ -126,3 +126,86 @@ def test_loader_process_sharding_matches_global():
     for (gf, gt), (f0, t0), (f1, t1) in zip(single, p0, p1):
         np.testing.assert_array_equal(gf, np.concatenate([f0, f1]))
         np.testing.assert_array_equal(gt, np.concatenate([t0, t1]))
+
+
+_TRAIN_WORKER = r"""
+import os, sys
+pid, n, port, repo, data = (int(sys.argv[1]), int(sys.argv[2]),
+                            sys.argv[3], sys.argv[4], sys.argv[5])
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+sys.path.insert(0, repo)
+
+from demfi_tpu.main import cli
+
+args = ["--phase", "train", "--epochs", "1",
+        "--train_data_path", data, "--test_data_path", data,
+        "--checkpoint_dir", os.path.join(data, "ckpt"),
+        "--log_dir", os.path.join(data, "log"),
+        "--text_dir", os.path.join(data, "text"),
+        "--test_img_dir", os.path.join(data, "imgs"),
+        "--nf", "16", "--num_ResB_FACFB", "1", "--num_ResB_Dec", "1",
+        "--N_trn", "1", "--N_tst", "1", "--batch_size", "4",
+        "--patch_size", "32", "--freq_display", "1",
+        "--num_thrds", "1", "--multiple_MFI", "2",
+        "--mesh_data", "4", "--mesh_spatial", "2",
+        "--coordinator_address", f"localhost:{port}",
+        "--num_processes", str(n), "--process_id", str(pid)]
+if os.environ.get("MH_RESUME"):
+    args.append("--auto_resume")
+cli(args)
+print(f"MHTRAIN_DONE {pid}", flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_two_process_run_train_end_to_end(tmp_path):
+    """The FULL run_train path under 2 processes: sharded prefetch,
+    process-0 debug sheets from the host-side batch tap, gated
+    validation + final evaluate, checkpoint save — the round-2 advisor
+    flagged this path as untested (save_debug on globally-sharded
+    arrays crashed). Then a second --auto_resume run exercises the
+    resume-decision/state broadcast."""
+    import cv2
+    rng = np.random.RandomState(0)
+    data = tmp_path / "ds"
+    for s in range(4):
+        for kind, names in (("train", range(1, 41)),
+                            ("train_blur", range(8, 33, 8)),
+                            ("test", range(60)),
+                            ("test_blur", range(17, 57, 8))):
+            d = data / kind / f"scene{s}"
+            d.mkdir(parents=True, exist_ok=True)
+            for i in names:
+                cv2.imwrite(str(d / f"{str(i).zfill(5)}.png"),
+                            rng.randint(0, 255, (48, 64, 3), np.uint8))
+
+    worker = tmp_path / "mh_train_worker.py"
+    worker.write_text(_TRAIN_WORKER)
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+
+    def run(resume):
+        port = str(_free_port())
+        e = dict(env, MH_RESUME="1") if resume else env
+        procs = [subprocess.Popen(
+            [sys.executable, str(worker), str(p), "2", port, REPO,
+             str(data)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=e) for p in range(2)]
+        outs = [p.communicate(timeout=1500)[0] for p in procs]
+        for out, p in zip(outs, procs):
+            assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
+            assert f"MHTRAIN_DONE" in out
+        return outs
+
+    run(resume=False)
+    # debug sheets written by process 0 from the host-side batch tap
+    import glob as g
+    sheets = g.glob(str(data / "imgs" / "*" / "while_training" / "*Bx20.png"))
+    assert sheets, "no debug sheets written in multi-process training"
+    # second run resumes past epoch 0 (broadcast decision + state)
+    outs = run(resume=True)
+    assert any("Training has been ended" in o for o in outs)

@@ -24,8 +24,8 @@ GOLDEN_PATH = os.path.join(os.path.dirname(__file__),
                            "golden_forward.json")
 
 
-def compute_stats():
-    cfg = config_rb(2, 2)
+def compute_stats(dtype: str = "float32"):
+    cfg = config_rb(2, 2, compute_dtype=dtype)
     model = make_model(cfg)
     rng = np.random.RandomState(42)
     frames = jnp.asarray(rng.uniform(-1, 1, (1, 4, 32, 48, 3)),
