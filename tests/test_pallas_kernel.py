@@ -291,8 +291,15 @@ def test_fwarp_shift_stencil_matches_xla():
     flo = jnp.asarray(rng.uniform(-6.9, 6.9, (2, 48, 256, 2)
                                   ).astype(np.float32))
     want, wantn = _fwarp_xla(x, flo)
+    # v2 (fori-loop dy sweep + padded canvas; the deployable variant —
+    # v1's fully-unrolled program exceeds the compile helper's limits)
     with pltpu.force_tpu_interpret_mode():
-        got, gotn = fwarp_shift_tpu(x, flo, D=8)
+        got, gotn = fwarp_shift_tpu(x, flo, D=8, v2=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
     np.testing.assert_allclose(np.asarray(gotn), np.asarray(wantn),
+                               atol=1e-5)
+    # v1 (reference formulation) kept in sync
+    with pltpu.force_tpu_interpret_mode():
+        got1, gotn1 = fwarp_shift_tpu(x, flo, D=8, v2=False)
+    np.testing.assert_allclose(np.asarray(got1), np.asarray(want),
                                atol=1e-5)
