@@ -78,6 +78,12 @@ _PALLAS_SPAN = int(os.environ.get("DEMFI_PALLAS_SPAN", "128"))
 # is NOT fused by XLA (315 ms vs the fused scatter's 120 ms at B=7
 # 352x640, D=8), so it stays opt-in via DEMFI_FWARP_D>0.
 _FWARP_SHIFT_D = int(os.environ.get("DEMFI_FWARP_D", "0"))
+# Mosaic shift-stencil fwarp window (pallas_kernels.fwarp_shift_tpu v2):
+# 0 disables; N>0 takes the descriptor-free kernel whenever
+# max|flo| <= N-1 at runtime (fused-scatter fallback otherwise).
+# Opt-in until the on-chip timing beats the 120 ms fused scatter.
+_FWARP_SHIFT_STENCIL_D = int(os.environ.get("DEMFI_FWARP_SHIFT", "0"))
+LANES_MIN = 128
 
 
 def set_pallas_window(vr: int = None, span: int = None) -> None:
@@ -195,6 +201,30 @@ def _fwarp_fast_bwd(vr, res, g):
 
 
 _fwarp_fast.defvjp(_fwarp_fast_fwd, _fwarp_fast_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _fwarp_shift_fast(img, flo, d):
+    """Motion-guarded shift-stencil forward warp (pallas_kernels.
+    fwarp_shift_tpu v2): descriptor-free static-shift accumulation for
+    |flo| <= d-1, falling back to the fused scatter otherwise. Backward
+    recomputes through the exact XLA op (custom_vjp pattern above)."""
+    from demfi_tpu.ops.pallas_kernels import fwarp_shift_tpu
+    ok = ~jnp.any(jnp.abs(flo) > float(d - 1))
+    return _guarded(ok, lambda ii, ff: fwarp_shift_tpu(ii, ff, D=d),
+                    _fwarp_xla_quad, img, flo)
+
+
+def _fwarp_shift_fast_fwd(img, flo, d):
+    return _fwarp_shift_fast(img, flo, d), (img, flo)
+
+
+def _fwarp_shift_fast_bwd(d, res, g):
+    _, vjp = jax.vjp(_fwarp_xla, *res)
+    return vjp(g)
+
+
+_fwarp_shift_fast.defvjp(_fwarp_shift_fast_fwd, _fwarp_shift_fast_bwd)
 
 
 def _bilinear_zeros_quad(img: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray
@@ -390,6 +420,11 @@ def fwarp(img: jnp.ndarray, flo: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]
     if _use_pallas_scatter() and h >= 16 and w >= 16:
         return _fwarp_fast(img, flo, _PALLAS_VR)
     if _on_tpu():
+        ds = _FWARP_SHIFT_STENCIL_D
+        if ds > 0 and h > 2 * ds and w >= 2 * LANES_MIN:
+            # Mosaic shift-stencil kernel, guarded: big motion falls
+            # back to the fused scatter at runtime
+            return _fwarp_shift_fast(img, flo, ds)
         D = _FWARP_SHIFT_D
         if D > 0 and h > 2 * D and w > 2 * D:
             ok = ~jnp.any(jnp.abs(flo) > float(D - 1))
