@@ -476,63 +476,75 @@ def _fwarp_shift_kernel(*refs, C: int, block_rows: int, D: int, d_al: int,
                     out_ref[0, lo:hi] += vals[o0:o1, sl, :] * m2
 
 
-def _fwarp_shift_kernel_v2(*refs, C: int, block_rows: int, D: int,
-                           d_al: int, n_slabs: int):
-    """Compile-size-bounded variant: the dy sweep is a ``fori_loop``
-    writing full 8-row bands at a DYNAMIC row offset into a per-block
-    padded canvas (dim1 of the rank-4 out ref is untiled, so any offset
-    is legal), with a ``pl.when`` guard skipping bands that fall outside
-    the block. Only the 18 dx terms are unrolled, so the Mosaic program
-    is ~18x smaller than the fully-unrolled v1 (whose compile through
-    the relay exceeds any sane budget) while executing the same number
-    of VPU terms. The caller discards the 8-row canvas pads — an edge
-    band a slab writes into a neighbour block's rows is recomputed by
-    that neighbour, never summed twice."""
-    out_ref = refs[-1]
-    out_ref[0] = jnp.zeros_like(out_ref[0])
+def _fwarp_shift_kernel_v2(v0_ref, v1_ref, v2_ref, out_ref, *, C: int,
+                           block_rows: int, D: int, d_al: int):
+    """Compile-budget-bounded variant.
 
-    for k in range(n_slabs):
-        packed = jnp.concatenate(
-            [refs[3 * k][0], refs[3 * k + 1][0], refs[3 * k + 2][0]],
-            axis=1)                          # [8, 384, 2+C]
-        dyf = packed[..., 0:1]               # keepdim (Mosaic gather trap)
-        dxf = packed[..., 1:2]
-        vals = packed[..., 2:]
-        slab_lo = -d_al + 8 * k              # python int, rows rel. to r0
-        gy = jnp.floor(dyf)
-        gx = jnp.floor(dxf)
-        fy = dyf - gy
-        fx = dxf - gx
-        r1 = gy.astype(jnp.int32)
-        c1 = gx.astype(jnp.int32)
-        wy = (jnp.exp(-(fy ** 2)), jnp.exp(-((fy - 1.0) ** 2)))
-        wx = (jnp.exp(-(fx ** 2)), jnp.exp(-((fx - 1.0) ** 2)))
+    Two structural changes vs the fully-unrolled v1 (whose remote
+    compile exceeds the dev helper's budget — HTTP 500 after minutes;
+    every individual construct compiles fine, /tmp/v2_bisect.py c1-c6
+    all PASS on silicon):
 
-        hit = ((r1 >= -D) & (r1 <= D + 1) & (c1 >= -D) & (c1 <= D + 1))
+      1. the slab sweep is the innermost GRID axis ("arbitrary"
+         semantics, output block revisited) — one slab body per program;
+      2. the dy sweep is a ``fori_loop`` writing full 8-row bands at a
+         DYNAMIC row offset into a per-block padded canvas (dim1 of the
+         rank-4 out ref is untiled, so any offset is legal), with a
+         ``pl.when`` guard skipping bands outside the block.
 
-        @pl.when(jnp.any(hit))
-        def _(vals=vals, r1=r1, c1=c1, wy=wy, wx=wx, slab_lo=slab_lo):
-            mx = {dx: jnp.where(c1 == dx, wx[0], 0.0)
-                  + jnp.where(c1 == dx - 1, wx[1], 0.0)
-                  for dx in range(-D, D + 2)}       # each [8, 384, 1]
+    Only the 18 dx terms are unrolled: the Mosaic program is ~100x
+    smaller than v1 at identical executed VPU work. The caller discards
+    the 8-row canvas pads — an edge band a slab writes into a neighbour
+    block's rows is recomputed by that neighbour, never summed twice.
+    All coordinate/mask tensors stay 3-D keepdim [8, 384, 1] (a 2-D
+    squeezed mask re-broadcast via [..., None] lowers to a gather
+    Mosaic rejects — scripts/mosaic_bisect.py)."""
+    q = pl.program_id(3)
 
-            def dy_body(j, _):
-                dy = j - D                   # traced dy in [-D, D+1]
-                rel = slab_lo + dy           # output row of slab row 0
+    @pl.when(q == 0)
+    def _():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
 
-                @pl.when((rel > -8) & (rel < block_rows))
-                def _():
-                    my = (jnp.where(r1 == dy, wy[0], 0.0)
-                          + jnp.where(r1 == dy - 1, wy[1], 0.0))
-                    band = jnp.zeros((8, LANES, C), jnp.float32)
-                    for dx in range(-D, D + 2):
-                        sl = slice(LANES - dx, 2 * LANES - dx)
-                        band = band + vals[:, sl, :] * (
-                            my[:, sl, :] * mx[dx][:, sl, :])
-                    out_ref[0, pl.ds(8 + rel, 8)] += band
-                return 0
+    packed = jnp.concatenate(
+        [v0_ref[0], v1_ref[0], v2_ref[0]], axis=1)   # [8, 384, 2+C]
+    dyf = packed[..., 0:1]
+    dxf = packed[..., 1:2]
+    vals = packed[..., 2:]
+    slab_lo = -d_al + 8 * q                  # traced, rows rel. to r0
+    gy = jnp.floor(dyf)
+    gx = jnp.floor(dxf)
+    fy = dyf - gy
+    fx = dxf - gx
+    r1 = gy.astype(jnp.int32)
+    c1 = gx.astype(jnp.int32)
+    wy = (jnp.exp(-(fy ** 2)), jnp.exp(-((fy - 1.0) ** 2)))
+    wx = (jnp.exp(-(fx ** 2)), jnp.exp(-((fx - 1.0) ** 2)))
 
-            jax.lax.fori_loop(0, 2 * D + 2, dy_body, 0)
+    hit = ((r1 >= -D) & (r1 <= D + 1) & (c1 >= -D) & (c1 <= D + 1))
+
+    @pl.when(jnp.any(hit))
+    def _():
+        mx = {dx: jnp.where(c1 == dx, wx[0], 0.0)
+              + jnp.where(c1 == dx - 1, wx[1], 0.0)
+              for dx in range(-D, D + 2)}           # each [8, 384, 1]
+
+        def dy_body(j, _):
+            dy = j - D                       # traced dy in [-D, D+1]
+            rel = slab_lo + dy               # output row of slab row 0
+
+            @pl.when((rel > -8) & (rel < block_rows))
+            def _():
+                my = (jnp.where(r1 == dy, wy[0], 0.0)
+                      + jnp.where(r1 == dy - 1, wy[1], 0.0))
+                band = jnp.zeros((8, LANES, C), jnp.float32)
+                for dx in range(-D, D + 2):
+                    sl = slice(LANES - dx, 2 * LANES - dx)
+                    band = band + vals[:, sl, :] * (
+                        my[:, sl, :] * mx[dx][:, sl, :])
+                out_ref[0, pl.ds(8 + rel, 8)] += band
+            return 0
+
+        jax.lax.fori_loop(0, 2 * D + 2, dy_body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("D", "block_rows", "v2"))
@@ -579,24 +591,34 @@ def fwarp_shift_tpu(img: jnp.ndarray, flo: jnp.ndarray, *, D: int = 8,
     if v2:
         # per-block padded canvas: block_rows core rows + 8 pad rows on
         # each side so the fori_loop's dynamic 8-row band stores never
-        # need clamping; pads are dropped below
+        # need clamping; pads are dropped below. The slab sweep is the
+        # 4th grid axis (out block revisited across q).
         rows_blk = block_rows + 16
         n_rb = hp // block_rows
         kernel = functools.partial(
             _fwarp_shift_kernel_v2, C=cp, block_rows=block_rows, D=D,
-            d_al=d_al, n_slabs=n_slabs)
+            d_al=d_al)
+
+        def qview(s):
+            return pl.BlockSpec(
+                (1, 8, LANES, 2 + cp),
+                lambda b_, r_, c_, q_, s=s: (b_, (block_rows // 8) * r_
+                                             + q_, c_ + s, 0),
+                memory_space=pltpu.VMEM)
+
         out = pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((b, n_rb * rows_blk, wp, cp),
                                            jnp.float32),
-            grid=grid,
-            in_specs=in_specs,
+            grid=grid + (n_slabs,),
+            in_specs=[qview(0), qview(1), qview(2)],
             out_specs=pl.BlockSpec((1, rows_blk, LANES, cp),
-                                   lambda b_, r_, c_: (b_, r_, c_, 0),
+                                   lambda b_, r_, c_, q_: (b_, r_, c_, 0),
                                    memory_space=pltpu.VMEM),
             compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "parallel", "parallel")),
-        )(*([packed] * (3 * n_slabs)))
+                dimension_semantics=("parallel", "parallel", "parallel",
+                                     "arbitrary")),
+        )(packed, packed, packed)
         out = out.reshape(b, n_rb, rows_blk, wp, cp)[:, :, 8:8 + block_rows]
         out = out.reshape(b, hp, wp, cp)
     else:
