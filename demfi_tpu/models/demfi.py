@@ -292,20 +292,42 @@ def _nearest_up2(x: Array) -> Array:
 # Stage II (recursive boosting)
 # --------------------------------------------------------------------------
 class Mixer(nn.Module):
-    """Two-branch ref/delta encoder (DeMFInet.py:796-824)."""
+    """Two-branch ref/delta encoder (DeMFInet.py:796-824).
+
+    The ``ref`` input is LOOP-INVARIANT across the recursive-boosting
+    iterations (it is part of the scan's ``const``, DeMFInet.py:130-165
+    recomputes it every iteration anyway), and the ref branch carries
+    ~70% of the Mixer's conv FLOPs (7x7 over ~30 channels vs 5 for
+    delta). ``encode_ref`` is therefore exposed separately so the model
+    hoists it OUT of the boosting loop — computed once per window
+    instead of once per iteration. Exact math, same parameter tree."""
     nf: int
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, ref: Array, delta: Array) -> Array:
+    def setup(self):
         nf = self.nf
-        r = nn.relu(_conv(nf // 2, 7, dtype=self.dtype, name="conv_ref1")(ref))
-        r = nn.relu(_conv(nf // 2, 3, dtype=self.dtype, name="conv_ref2")(r))
-        d = nn.relu(_conv(nf // 2, 7, dtype=self.dtype, name="conv_delta1")(delta))
-        d = nn.relu(_conv(nf // 2, 3, dtype=self.dtype, name="conv_delta2")(d))
-        h = nn.relu(_conv(nf // 2, 3, dtype=self.dtype, name="conv_blend1")(
-            jnp.concatenate([r, d], axis=-1)))
-        return nn.relu(_conv(nf, 3, dtype=self.dtype, name="conv_blend2")(h))
+        self.conv_ref1 = _conv(nf // 2, 7, dtype=self.dtype,
+                               name="conv_ref1")
+        self.conv_ref2 = _conv(nf // 2, 3, dtype=self.dtype,
+                               name="conv_ref2")
+        self.conv_delta1 = _conv(nf // 2, 7, dtype=self.dtype,
+                                 name="conv_delta1")
+        self.conv_delta2 = _conv(nf // 2, 3, dtype=self.dtype,
+                                 name="conv_delta2")
+        self.conv_blend1 = _conv(nf // 2, 3, dtype=self.dtype,
+                                 name="conv_blend1")
+        self.conv_blend2 = _conv(nf, 3, dtype=self.dtype,
+                                 name="conv_blend2")
+
+    def encode_ref(self, ref: Array) -> Array:
+        return nn.relu(self.conv_ref2(nn.relu(self.conv_ref1(ref))))
+
+    def __call__(self, ref: Array, delta: Array,
+                 ref_enc: Optional[Array] = None) -> Array:
+        r = self.encode_ref(ref) if ref_enc is None else ref_enc
+        d = nn.relu(self.conv_delta2(nn.relu(self.conv_delta1(delta))))
+        h = nn.relu(self.conv_blend1(jnp.concatenate([r, d], axis=-1)))
+        return nn.relu(self.conv_blend2(h))
 
 
 class _ConvParams(nn.Module):
@@ -383,16 +405,27 @@ class FlowOcc(nn.Module):
 
 
 class Booster(nn.Module):
-    """One recursive-boosting step (DeMFInet.py:770-793)."""
+    """One recursive-boosting step (DeMFInet.py:770-793).
+
+    ``encode_ref`` precomputes the Mixer's loop-invariant ref branch so
+    the caller can hoist it out of the boosting scan (see Mixer)."""
     nf: int
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, f_rec: Array, ref: Array, delta: Array
+    def setup(self):
+        self.Mixer = Mixer(self.nf, self.dtype, name="Mixer")
+        self.GB = SepConvGRU(self.nf, self.dtype, name="GB")
+        self.flow_occ = FlowOcc(self.nf, self.dtype, name="flow_occ")
+
+    def encode_ref(self, ref: Array) -> Array:
+        return self.Mixer.encode_ref(ref)
+
+    def __call__(self, f_rec: Array, ref: Optional[Array], delta: Array,
+                 ref_enc: Optional[Array] = None
                  ) -> Tuple[Array, Array, Array]:
-        blend = Mixer(self.nf, self.dtype, name="Mixer")(ref, delta)
-        f_rec = SepConvGRU(self.nf, self.dtype, name="GB")(f_rec, blend)
-        d = FlowOcc(self.nf, self.dtype, name="flow_occ")(f_rec)
+        blend = self.Mixer(ref, delta, ref_enc=ref_enc)
+        f_rec = self.GB(f_rec, blend)
+        d = self.flow_occ(f_rec)
         return f_rec, d[..., :4], d[..., 4:5]
 
 
@@ -576,9 +609,13 @@ class DeMFINet(nn.Module):
             sp_ref = jnp.concatenate([s0p, s1p, stp, ctx.frames], axis=-1)
             ref = jnp.concatenate([sp_ref, length1_ref, t_ref], axis=-1)
 
+            # the Mixer's ref branch is loop-invariant: encode once per
+            # window, not once per boosting iteration (exact; see Mixer)
+            ref_enc = self.Booster_Module.encode_ref(ref)
+
             carry = (f_rec, flow_init.astype(self.dtype),
                      occ_0_logit.astype(self.dtype))
-            const = (ref, s0p, s1p, occ_0,
+            const = (ref_enc, s0p, s1p, occ_0,
                      rflow_t0.astype(self.dtype), rflow_t1.astype(self.dtype),
                      ctx.flow_10.astype(self.dtype),
                      ctx.flow_01.astype(self.dtype), ctx.frames, t)
@@ -626,11 +663,12 @@ class DeMFINet(nn.Module):
         identical parameter tree (Stage-II modules stay direct children).
         """
         f_rec, delta_flow, delta_occ = carry
-        (ref, s0p, s1p, occ_0, rflow_t0_c, rflow_t1_c,
+        (ref_enc, s0p, s1p, occ_0, rflow_t0_c, rflow_t1_c,
          flow_10_c, flow_01_c, frames, t) = const
 
         delta = jnp.concatenate([delta_flow, delta_occ], axis=-1)
-        f_rec, d_flow, d_occ = self.Booster_Module(f_rec, ref, delta)
+        f_rec, d_flow, d_occ = self.Booster_Module(f_rec, None, delta,
+                                                   ref_enc=ref_enc)
         delta_flow = delta_flow + d_flow
         delta_occ = delta_occ + d_occ
 
