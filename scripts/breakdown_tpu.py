@@ -21,6 +21,8 @@ try:
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 except Exception:
     pass
+if _os.environ.get("DEMFI_PLATFORM"):
+    _jax.config.update("jax_platforms", _os.environ["DEMFI_PLATFORM"])
 
 
 def main():
@@ -113,6 +115,93 @@ def main():
                 return s
             dt = scalar_time(run, params, ctx7, ts7, floor=floor)
             put(f"synth_B7_N{n_up}_ms", dt * 1000)
+
+    if "scanvs" in stages:
+        # scan vs unrolled Stage-II at N=3: isolates the lax.scan
+        # carry/const handling cost from the per-iteration math
+        import dataclasses as _dc
+        from demfi_tpu.config import config_rb
+        from demfi_tpu.models import make_model
+
+        frames = jnp.asarray(
+            rng.uniform(-1, 1, (1, 4, h, w, 3)).astype(np.float32))
+        ts7 = jnp.asarray(np.linspace(1 / 8, 7 / 8, 7, dtype=np.float32))
+        for scan in (True, False):
+            cfg = _dc.replace(config_rb(5, 3, compute_dtype=args.dtype),
+                              scan_booster=scan)
+            model = make_model(cfg)
+            params = model.init(jax.random.PRNGKey(0),
+                                frames[:, :, :64, :64],
+                                jnp.zeros((1, 1)), num_update=1)
+            ctx = jax.jit(lambda p, f, m=model: m.apply(
+                p, f, method=m.extract))(params, frames)
+            ctx7 = jax.device_put(jax.tree_util.tree_map(
+                lambda x: jnp.repeat(x, 7, axis=0), ctx))
+
+            def run(p, c, ts, m=model):
+                o = m.apply(p, c, ts[:, None], 3, method=m.synthesize)
+                return (jnp.sum(o.st_prime.astype(jnp.float32))
+                        + jnp.sum(o.st_final.astype(jnp.float32))
+                        + jnp.sum(o.flow_preds))
+            dt = scalar_time(run, params, ctx7, ts7, floor=floor)
+            put(f"synth_B7_N3_{'scan' if scan else 'unroll'}_ms",
+                dt * 1000)
+
+    if "booster" in stages:
+        # isolated Stage-II sub-modules at the eval batch — each jitted
+        # alone runs at its best; the gap to (synth_N3-synth_N0)/3 is
+        # scan/fusion overhead
+        import flax.linen as nn
+        from demfi_tpu.models.demfi import (FlowOcc, Mixer, ResBlock,
+                                            SepConvGRU, _conv, _t_blend)
+
+        dt_ = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+        key = jax.random.PRNGKey(0)
+
+        def t_mod(name, mod, *shapes):
+            xs = [jnp.asarray(rng.uniform(-1, 1, s).astype(np.float32)
+                              ).astype(dt_) for s in shapes]
+            p = mod.init(key, *xs)
+            put(name, scalar_time(
+                lambda *a: jax.tree_util.tree_leaves(
+                    mod.apply(a[0], *a[1:]))[0].astype(jnp.float32).sum(),
+                p, *xs, floor=floor) * 1000)
+
+        t_mod("mixer_B7_ms", Mixer(64, dt_), (B, h, w, 30), (B, h, w, 5))
+        t_mod("gru_B7_ms", SepConvGRU(64, dt_), (B, h, w, 64),
+              (B, h, w, 64))
+        t_mod("flowocc_B7_ms", FlowOcc(64, dt_), (B, h, w, 64))
+
+        class D2(nn.Module):
+            dtype: object = dt_
+
+            @nn.compact
+            def __call__(self, x):
+                out = nn.relu(_conv(64, 3, dtype=self.dtype,
+                                    name="first")(x))
+                for i in range(5):
+                    out = ResBlock(64, self.dtype, name=f"res_{i}")(out)
+                out = nn.relu(_conv(64, 3, dtype=self.dtype,
+                                    name="last1")(out))
+                return _conv(9, 3, dtype=self.dtype, name="last2")(out)
+
+        t_mod("dec2_B7_ms", D2(), (B, h, w, 103))
+
+        # the per-iteration st_new blend (2x bwarp3 + t-blend)
+        s0 = jnp.asarray(rng.uniform(-1, 1, (B, h, w, 3)
+                                     ).astype(np.float32)).astype(dt_)
+        s1 = jnp.asarray(rng.uniform(-1, 1, (B, h, w, 3)
+                                     ).astype(np.float32)).astype(dt_)
+        f01 = jnp.asarray((rng.randn(B, h, w, 2) * 3).astype(np.float32))
+        occ = jnp.asarray(rng.uniform(0, 1, (B, h, w, 1)
+                                      ).astype(np.float32))
+        tv = jnp.full((B, 1, 1, 1), 0.375, jnp.float32)
+
+        def st_blend(s0, s1, f01, occ, tv):
+            return _t_blend(W.bwarp(s0, f01), W.bwarp(s1, -f01), occ, tv)
+        put("stblend_B7_ms", scalar_time(
+            lambda *a: st_blend(*a).astype(jnp.float32).sum(),
+            s0, s1, f01, occ, tv, floor=floor) * 1000)
 
     print(json.dumps(report, indent=1))
 
