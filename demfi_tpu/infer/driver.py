@@ -105,14 +105,33 @@ def evaluate(cfg: DeMFIConfig, engine: InferenceEngine, multiple: int,
              save_images: bool = True, writer=None,
              test_patch: Tuple[int, int] = (1, 1),
              window_batch: int = 1,
+             shard: Tuple[int, int] = (0, 1),
              ) -> Tuple[float, float, float, float, float, str]:
     """GT evaluation (reference ``test``). Returns (loss, intp_PSNR,
-    intp_SSIM, deblur_PSNR, deblur_SSIM, save_path)."""
+    intp_SSIM, deblur_PSNR, deblur_SSIM, save_path).
+
+    ``shard=(process_id, process_count)``: multi-host evaluation assigns
+    whole scenes round-robin to processes (scene rollover and the
+    trailing-S1 deblur need contiguous scenes); each process writes its
+    own scenes' PNGs and the returned headline metrics are the
+    cross-process weighted averages (gathered via jax collectives)."""
     assert multiple in (2, 8), "phase test supports multiple in {2,8} (main.py:518)"
     ds = EvalDataset(cfg.test_data_path, multiple, cfg.t_step_size,
                      center_patch=center_patch, test_type=test_type)
     m1 = multiple - 1
     n_windows = len(ds) // m1
+    pid, pcount = shard
+    if pcount > 1:
+        scene_order = []
+        for w_ in range(n_windows):
+            sc = ds.items[w_ * m1].scene
+            if not scene_order or scene_order[-1] != sc:
+                scene_order.append(sc)
+        owned_scenes = set(scene_order[pid::pcount])
+        owned = [w_ for w_ in range(n_windows)
+                 if ds.items[w_ * m1].scene in owned_scenes]
+    else:
+        owned = list(range(n_windows))
     rec = _rec_loss_np(cfg.loss_type)
 
     batch_time = AverageMeter("Time:", ":6.3f")
@@ -165,15 +184,16 @@ def evaluate(cfg: DeMFIConfig, engine: InferenceEngine, multiple: int,
         """Yield (window_data, WindowResult), batching device calls over
         ``window_batch`` same-shape windows when untiled."""
         w = 0
-        while w < n_windows:
-            chunk = [_load_window(ds, w)]
+        n_owned = len(owned)
+        while w < n_owned:
+            chunk = [_load_window(ds, owned[w])]
             h_, w_ = chunk[0][0].shape[1:3]
             # the batched path skips the reflect-pad step, so it requires
             # 32-multiple frames (forward_window pads otherwise)
             if test_patch == (1, 1) and h_ % 32 == 0 and w_ % 32 == 0:
                 while (len(chunk) < window_batch
-                       and w + len(chunk) < n_windows):
-                    nxt = _load_window(ds, w + len(chunk))
+                       and w + len(chunk) < n_owned):
+                    nxt = _load_window(ds, owned[w + len(chunk)])
                     if nxt[0].shape != chunk[0][0].shape:
                         break
                     chunk.append(nxt)
@@ -284,6 +304,23 @@ def evaluate(cfg: DeMFIConfig, engine: InferenceEngine, multiple: int,
             writer.add_scalar("deblur_testPSNR", deblur_psnr["final"].val, tb)
 
     finalize_scene()
+
+    if pcount > 1:
+        # weighted cross-process aggregation of the headline metrics
+        from jax.experimental import multihost_utils
+        meters = (losses, intp_psnr["final"], intp_ssim["final"],
+                  deblur_psnr["final"], deblur_ssim["final"])
+        local = np.asarray([[m.sum for m in meters]
+                            + [m.count for m in meters]], np.float64)
+        allp = np.asarray(multihost_utils.process_allgather(local))
+        allp = allp.reshape(-1, 10)
+        sums, counts = allp[:, :5].sum(0), allp[:, 5:].sum(0)
+        agg = sums / np.maximum(counts, 1)
+        for m, s_, c_ in zip(meters, sums, counts):
+            m.sum, m.count = float(s_), int(c_)
+            m.avg = float(s_ / max(c_, 1))
+        print(f"[eval shard {pid}/{pcount}] aggregated over "
+              f"{int(counts[1])} interp samples across processes")
 
     print("-" * 40 + f" x{multiple} MFI results " + "-" * 40)
     for k in ("prime", "final"):

@@ -332,21 +332,24 @@ def run_train(cfg: DeMFIConfig) -> None:
 
     print("-" * 20, "Training has been ended.", "-" * 20)
     print("best_PSNR of model:", best_psnr)
-    # final full-resolution evaluation mirrors the validation path:
-    # process 0 only, with a host copy of the replicated params (feeding
-    # mesh-committed arrays into a process-local engine raises)
-    if is_main:
-        eval_params = (jax.device_get(state.params) if pcount > 1
-                       else state.params)
-        engine = InferenceEngine(model, eval_params, cfg.N_tst,
-                                 t_chunk=cfg.t_chunk or None,
-                                 mesh=mesh if pcount == 1 else None)
-        evaluate(cfg, engine, multiple=cfg.multiple_MFI,
-                 epoch=cfg.epochs - 1,
-                 post_fix=f"_final_x{cfg.multiple_MFI}_full_resolution"
-                          f"_Ntst{cfg.N_tst}",
-                 test_patch=cfg.test_patch, writer=writer,
-                 window_batch=cfg.eval_window_batch)
+    # Final full-resolution evaluation. Multi-host: every process
+    # evaluates its round-robin share of SCENES with a process-local
+    # engine (host copy of the replicated params — feeding
+    # mesh-committed arrays into a process-local jit raises); the driver
+    # aggregates the headline metrics across processes. Single-process:
+    # the (data, spatial) mesh shards windows/rows across local chips.
+    eval_params = (jax.device_get(state.params) if pcount > 1
+                   else state.params)
+    engine = InferenceEngine(model, eval_params, cfg.N_tst,
+                             t_chunk=cfg.t_chunk or None,
+                             mesh=mesh if pcount == 1 else None)
+    evaluate(cfg, engine, multiple=cfg.multiple_MFI,
+             epoch=cfg.epochs - 1,
+             post_fix=f"_final_x{cfg.multiple_MFI}_full_resolution"
+                      f"_Ntst{cfg.N_tst}",
+             test_patch=cfg.test_patch, writer=writer,
+             window_batch=cfg.eval_window_batch,
+             shard=(pid, pcount))
 
 
 def _load_eval_params(cfg):

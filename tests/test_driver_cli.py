@@ -204,3 +204,18 @@ def test_run_test_builds_mesh_from_flags(monkeypatch, small_setup):
     M.run_test(cfg2)
     assert seen["mesh"] is not None
     assert dict(seen["mesh"].shape) == {"data": 4, "spatial": 2}
+
+
+def test_evaluate_scene_sharding_partitions_and_combines(small_setup):
+    """Multi-host eval sharding (round-2 VERDICT weak 7): two
+    complementary shards must cover disjoint scene sets whose weighted
+    metric combination equals the unsharded run."""
+    cfg, engine, root = small_setup
+    full = evaluate(cfg, engine, multiple=2, epoch=7, post_fix="_sfull",
+                    save_images=False)[:5]
+    parts = [evaluate(cfg, engine, multiple=2, epoch=7,
+                      post_fix=f"_s{p}", save_images=False,
+                      shard=(p, 2))[:5] for p in range(2)]
+    # 2 scenes, 2 windows each, equal weights: plain mean combines
+    comb = [(a + b) / 2 for a, b in zip(parts[0], parts[1])]
+    np.testing.assert_allclose(comb, full, atol=1e-6)

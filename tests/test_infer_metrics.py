@@ -55,12 +55,18 @@ def test_tiled_matches_untiled_with_local_model(engine):
         f3 = np.broadcast_to(blur, (m,) + img.shape).astype(np.float32)
         f4 = np.concatenate([f3, f3[..., :1]], -1)
         f1 = np.ascontiguousarray(f3[..., :1])
+        f2 = np.concatenate([f1, f1], -1)
         return WindowResult(
             s0_prime=f3, s1_prime=f3, st_prime=f3,
             s0_final=f3, s1_final=f3, st_final=f3,
             flow_init=f4, flow_final=f4,
             occ0_init=f1, occ0_final=f1, ovlp=f3,
-            blend_w0=f1, blend_w1=f1, diff_10=f1, diff_01=f1)
+            blend_w0=f1, blend_w1=f1, diff_10=f1, diff_01=f1,
+            **{n: f1 for n in ("fgac_src_10", "fgac_ref_10",
+                               "fgac_warp_10", "fgac_fcw_10",
+                               "fgac_src_01", "fgac_ref_01",
+                               "fgac_warp_01", "fgac_fcw_01")},
+            flow_01=f2, flow_10=f2)
 
     eng2 = object.__new__(type(eng))
     eng2.__dict__.update(eng.__dict__)
