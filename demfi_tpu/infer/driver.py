@@ -340,16 +340,32 @@ def evaluate(cfg: DeMFIConfig, engine: InferenceEngine, multiple: int,
 
 def evaluate_custom(cfg: DeMFIConfig, engine: InferenceEngine,
                     multiple: int,
-                    test_patch: Tuple[int, int] = (1, 1)) -> None:
+                    test_patch: Tuple[int, int] = (1, 1),
+                    shard: Tuple[int, int] = (0, 1)) -> None:
     """GT-free interpolation of user scenes (reference ``test_custom``,
     main.py:1109-1196): writes S0/S1 once per window plus every St into
-    <custom_path>/<scene>_sharply_interpolated_xM/."""
+    <custom_path>/<scene>_sharply_interpolated_xM/.
+
+    ``shard=(process_id, process_count)`` assigns whole scenes
+    round-robin for multi-host runs (each process writes its own)."""
     ds = CustomDataset(cfg.custom_path, multiple)
     m1 = multiple - 1
     n_windows = len(ds) // m1
     batch_time = AverageMeter("Time:", ":6.3f")
 
-    for w in range(n_windows):
+    pid, pcount = shard
+    owned_w = list(range(n_windows))
+    if pcount > 1:
+        scene_order = []
+        for w_ in range(n_windows):
+            sc = ds.items[w_ * m1].scene
+            if not scene_order or scene_order[-1] != sc:
+                scene_order.append(sc)
+        owned = set(scene_order[pid::pcount])
+        owned_w = [w_ for w_ in range(n_windows)
+                   if ds.items[w_ * m1].scene in owned]
+
+    for w in owned_w:
         items = ds.items[w * m1:(w + 1) * m1]
         blur = _normalize(np.stack([_imread(p)
                                     for p in items[0].blur_paths]))
