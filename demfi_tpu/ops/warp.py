@@ -83,6 +83,12 @@ _FWARP_SHIFT_D = int(os.environ.get("DEMFI_FWARP_D", "0"))
 # max|flo| <= N-1 at runtime (fused-scatter fallback otherwise).
 # Opt-in until the on-chip timing beats the 120 ms fused scatter.
 _FWARP_SHIFT_STENCIL_D = int(os.environ.get("DEMFI_FWARP_SHIFT", "0"))
+# One-hot-matmul fwarp (_fwarp_xla_onehot): vertical motion window D
+# (guarded, quad-scatter fallback; horizontal motion is EXACT for any
+# magnitude). 0 disables. Row chunk bounds the [B,ch,W,W] one-hot
+# operand's HBM footprint.
+_FWARP_ONEHOT_D = int(os.environ.get("DEMFI_FWARP_ONEHOT_D", "24"))
+_FWARP_ONEHOT_CHUNK = int(os.environ.get("DEMFI_FWARP_ONEHOT_CHUNK", "32"))
 LANES_MIN = 128
 
 
@@ -420,6 +426,11 @@ def fwarp(img: jnp.ndarray, flo: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]
     if _use_pallas_scatter() and h >= 16 and w >= 16:
         return _fwarp_fast(img, flo, _PALLAS_VR)
     if _on_tpu():
+        dh = _FWARP_ONEHOT_D
+        if dh > 0 and w >= LANES_MIN and h >= 2 * dh:
+            # one-hot MXU matmul scatter: exact for any horizontal
+            # motion, vertical window guarded with scatter fallback
+            return _fwarp_onehot_fast(img, flo, dh, _FWARP_ONEHOT_CHUNK)
         ds = _FWARP_SHIFT_STENCIL_D
         if ds > 0 and h > 2 * ds and w >= 2 * LANES_MIN:
             # Mosaic shift-stencil kernel, guarded: big motion falls
@@ -569,6 +580,140 @@ def _fwarp_xla_shifts(img: jnp.ndarray, flo: jnp.ndarray, D: int
     # the canvas margins already absorbed them
     return (out[..., :c].astype(img.dtype),
             out[..., c:c + 1].astype(img.dtype))
+
+
+def _fwarp_xla_onehot(img: jnp.ndarray, flo: jnp.ndarray, D: int,
+                      row_chunk: int = 32
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Forward warp as a one-hot MXU matmul + static-conv row shift.
+
+    The scatter-add (reference semantics: /root/reference/DeMFInet.py:
+    625-729, 4-corner Gaussian splat) is descriptor-bound on TPU: the
+    fused single-scatter form still moves 1.6M row descriptors per call
+    (120 ms at B=7 352x640). This form has NO scatters or gathers:
+
+      1. The Gaussian splat weights are separable (wy * wx). Decompose
+         the row displacement into integer shifts s = floor(dy) in
+         [-D, D]; for each s, the masked values
+         ``vals * (1[r1==s] wy0 + 1[r1==s-1] wy1)`` are stacked on
+         channels -> [B,H,W,(2D+1)(C+1)].
+      2. The column scatter is EXACT for any horizontal motion as a
+         batched one-hot matmul over x: AX[b,y,xs,xt] = wx0 1[xt==xs+c1]
+         + wx1 1[xt==xs+c1+1] (zero when the target column is outside
+         the image). One einsum rides the MXU (~2 nonzeros per AX row;
+         the MXU eats the zeros far faster than the DMA engine eats
+         descriptors). Row-chunked under lax.scan so the [B,ch,W,W]
+         one-hot operand never exceeds ~200 MB.
+      3. The row shift-accumulate out[y] = sum_s S[y-s, block_s] is a
+         conv over H with a STATIC binary kernel [2D+1, 1, K, C+1] --
+         one fused MXU op instead of the 2D+1 slice-RMWs XLA refuses to
+         fuse (_fwarp_xla_shifts' failure mode).
+
+    Only vertical motion needs the window: the guarded dispatch falls
+    back to the fused scatter whenever an in-image splat has
+    floor(dy) outside [-D, D-1]. Semantics match :func:`_fwarp_xla`
+    for in-window flows (splats to out-of-image rows/cols dropped).
+    """
+    b, h, w, c = img.shape
+    f32 = jnp.float32
+    cdt = jnp.bfloat16 if img.dtype == jnp.bfloat16 else f32
+    prec = None if cdt == jnp.bfloat16 else jax.lax.Precision.HIGHEST
+
+    dc = flo[..., 0].astype(f32)
+    dr = flo[..., 1].astype(f32)
+    c1 = jnp.floor(dc)
+    r1 = jnp.floor(dr)
+    fc = dc - c1
+    fr = dr - r1
+    c1i = c1.astype(jnp.int32)
+    r1i = r1.astype(jnp.int32)
+    wx0 = jnp.exp(-(fc ** 2)).astype(cdt)
+    wx1 = jnp.exp(-((fc - 1.0) ** 2)).astype(cdt)
+    wy0 = jnp.exp(-(fr ** 2))
+    wy1 = jnp.exp(-((fr - 1.0) ** 2))
+
+    vals = jnp.concatenate(
+        [img.astype(cdt), jnp.ones((b, h, w, 1), cdt)], axis=-1)
+    shifts = list(range(-D, D + 1))
+    n = c + 1
+    stacked = jnp.concatenate(
+        [vals * (jnp.where(r1i == s, wy0, 0.0)
+                 + jnp.where(r1i == s - 1, wy1, 0.0)).astype(cdt)[..., None]
+         for s in shifts], axis=-1)                     # [B,H,W,K]
+    K = (2 * D + 1) * n
+
+    # row-chunked one-hot column scatter (zero-padded rows contribute 0)
+    ch = max(8, min(row_chunk, h))
+    hp = -(-h // ch) * ch
+    pad = hp - h
+    if pad:
+        stacked = jnp.pad(stacked, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        c1i = jnp.pad(c1i, ((0, 0), (0, pad), (0, 0)))
+        wx0 = jnp.pad(wx0, ((0, 0), (0, pad), (0, 0)))
+        wx1 = jnp.pad(wx1, ((0, 0), (0, pad), (0, 0)))
+    nch = hp // ch
+
+    def chunked(x):
+        return jnp.moveaxis(x.reshape((b, nch, ch) + x.shape[2:]), 1, 0)
+
+    xt = jnp.arange(w, dtype=jnp.int32)
+    base_c = jnp.arange(w, dtype=jnp.int32)[None, None, :]
+
+    def step(_, args):
+        stc, c1c, w0c, w1c = args
+        tc = base_c + c1c                               # corner-0 target col
+        ax = (jnp.where(tc[..., None] == xt, w0c[..., None], cdt(0))
+              + jnp.where((tc + 1)[..., None] == xt, w1c[..., None], cdt(0)))
+        s = jnp.einsum('bhst,bhsk->bhtk', ax, stc, precision=prec,
+                       preferred_element_type=f32)
+        return None, s.astype(cdt)
+
+    _, S = jax.lax.scan(
+        step, None, (chunked(stacked), chunked(c1i), chunked(wx0),
+                     chunked(wx1)))
+    S = jnp.moveaxis(S, 0, 1).reshape(b, hp, w, K)[:, :h]
+
+    # static binary conv over H realigns the row-shift blocks:
+    # out[y] = sum_s S[y - s, block_s]  ->  kernel[D - s, 0, block_s] = I
+    import numpy as _np
+    ker = _np.zeros((2 * D + 1, 1, K, n), _np.float32)
+    for i, s in enumerate(shifts):
+        ker[D - s, 0, i * n:(i + 1) * n] = _np.eye(n)
+    out = jax.lax.conv_general_dilated(
+        S.astype(cdt), jnp.asarray(ker, cdt), window_strides=(1, 1),
+        padding=((D, D), (0, 0)),
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+        precision=prec, preferred_element_type=f32)
+    return out[..., :c].astype(img.dtype), out[..., c:].astype(img.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _fwarp_onehot_fast(img, flo, d, row_chunk):
+    """Motion-guarded one-hot-matmul forward warp: exact for ANY
+    horizontal motion; vertical splats with floor(dy) outside [-d, d-1]
+    that land inside the image trigger the fused-scatter fallback.
+    Backward recomputes through the exact XLA op (custom_vjp pattern)."""
+    h = img.shape[1]
+    gy = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+    ty = gy + flo[..., 1].astype(jnp.float32)
+    in_img_y = (ty > -1.0) & (ty < h)
+    r1 = jnp.floor(flo[..., 1].astype(jnp.float32))
+    ok = ~jnp.any(in_img_y & ((r1 < float(-d)) | (r1 > float(d - 1))))
+    return _guarded(ok, lambda ii, ff: _fwarp_xla_onehot(ii, ff, d,
+                                                         row_chunk),
+                    _fwarp_xla_quad, img, flo)
+
+
+def _fwarp_onehot_fast_fwd(img, flo, d, row_chunk):
+    return _fwarp_onehot_fast(img, flo, d, row_chunk), (img, flo)
+
+
+def _fwarp_onehot_fast_bwd(d, row_chunk, res, g):
+    _, vjp = jax.vjp(_fwarp_xla, *res)
+    return vjp(g)
+
+
+_fwarp_onehot_fast.defvjp(_fwarp_onehot_fast_fwd, _fwarp_onehot_fast_bwd)
 
 
 def cfr_flow_t_align(flow_01: jnp.ndarray, flow_10: jnp.ndarray,

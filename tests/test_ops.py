@@ -292,3 +292,52 @@ def test_fused_tpu_paths_match_four_tap():
     g4 = jax.grad(lambda f: jnp.sum(_fwarp_xla_quad(x, f)[0] ** 2))(flo)
     np.testing.assert_allclose(np.asarray(g3), np.asarray(g4),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_fwarp_onehot_matches_scatter():
+    """One-hot-matmul fwarp (_fwarp_xla_onehot): exact vs the scatter
+    path for ANY horizontal motion; vertical motion within its [-D, D-1]
+    window; out-of-image splats dropped identically. Exercises the
+    row-chunk padding path (h=24 with chunk 32 and 8)."""
+    from demfi_tpu.ops.warp import (_fwarp_xla, _fwarp_xla_onehot,
+                                    _fwarp_onehot_fast)
+
+    x = jnp.asarray(RNG.randn(2, 24, 40, 3).astype(np.float32))
+    D = 8
+    # vertical within window, horizontal unbounded (incl. off-image)
+    flo = jnp.stack(
+        [jnp.asarray(RNG.uniform(-60, 60, (2, 24, 40)).astype(np.float32)),
+         jnp.asarray(RNG.uniform(-6.9, 6.9, (2, 24, 40)).astype(np.float32))],
+        axis=-1)
+    a, an = _fwarp_xla(x, flo)
+    for chunk in (32, 8):
+        o, on = _fwarp_xla_onehot(x, flo, D, row_chunk=chunk)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(o), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(an), np.asarray(on), atol=2e-5)
+
+    # guarded wrapper: big vertical motion falls back to the exact path
+    flo_big = flo.at[..., 1].mul(10.0)
+    a2, an2 = _fwarp_xla(x, flo_big)
+    g2, gn2 = _fwarp_onehot_fast(x, flo_big, D, 32)
+    np.testing.assert_allclose(np.asarray(a2), np.asarray(g2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(an2), np.asarray(gn2), atol=1e-5)
+    # ... and small motion takes the one-hot branch (same numbers)
+    g3, _ = _fwarp_onehot_fast(x, flo, D, 32)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(g3), atol=2e-5)
+
+    # custom_vjp backward == exact-op backward on both branches
+    ge = jax.grad(lambda f: jnp.sum(_fwarp_xla(x, f)[0] ** 2))(flo)
+    go = jax.grad(lambda f: jnp.sum(_fwarp_onehot_fast(x, f, D, 32)[0] ** 2)
+                  )(flo)
+    np.testing.assert_allclose(np.asarray(ge), np.asarray(go),
+                               rtol=1e-4, atol=1e-5)
+
+    # bf16 inputs ride the bf16 MXU path within bf16 tolerance
+    xb = x.astype(jnp.bfloat16)
+    fb = flo.astype(jnp.bfloat16)
+    ab, abn = _fwarp_xla(xb, fb)
+    ob, obn = _fwarp_xla_onehot(xb, fb, D)
+    np.testing.assert_allclose(np.asarray(ab, np.float32),
+                               np.asarray(ob, np.float32), atol=0.15)
+    np.testing.assert_allclose(np.asarray(abn, np.float32),
+                               np.asarray(obn, np.float32), atol=0.15)
