@@ -105,6 +105,10 @@ def main():
         h, w = (int(x) for x in args.res.split("x"))
 
     cfg = config_rb(5, args.n_tst, compute_dtype=args.dtype)
+    # unrolled booster: ~200 ms faster per window than the nn.scan body
+    # (breakdown_r03.json), identical params
+    import dataclasses as _dc
+    cfg = _dc.replace(cfg, scan_booster=False)
     model = make_model(cfg)
     rng = np.random.RandomState(0)
     frames = jnp.asarray(rng.uniform(-1, 1, (1, 4, h, w, 3)).astype(np.float32))

@@ -360,7 +360,13 @@ def _load_eval_params(cfg):
     from demfi_tpu.models import make_model
 
     em = AsyncExperimentManager(cfg)
-    model = make_model(cfg)
+    # Inference uses the UNROLLED booster: on-chip the nn.scan body
+    # blocks cross-iteration XLA specialization and costs ~200 ms per
+    # x8 window at 352x640 (breakdown_r03.json synth_B7_N3_scan_ms vs
+    # _unroll). The param tree is identical (shared _boost_step), so
+    # checkpoints load unchanged; scan stays the training default for
+    # its N× lower compile cost.
+    model = make_model(dataclasses.replace(cfg, scan_booster=False))
     template = jax.eval_shape(
         lambda: model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, 4, 32, 32, 3)),
