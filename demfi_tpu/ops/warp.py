@@ -87,7 +87,7 @@ _FWARP_SHIFT_STENCIL_D = int(os.environ.get("DEMFI_FWARP_SHIFT", "0"))
 # (guarded, quad-scatter fallback; horizontal motion is EXACT for any
 # magnitude). 0 disables. Row chunk bounds the [B,ch,W,W] one-hot
 # operand's HBM footprint.
-_FWARP_ONEHOT_D = int(os.environ.get("DEMFI_FWARP_ONEHOT_D", "24"))
+_FWARP_ONEHOT_D = int(os.environ.get("DEMFI_FWARP_ONEHOT_D", "32"))
 _FWARP_ONEHOT_CHUNK = int(os.environ.get("DEMFI_FWARP_ONEHOT_CHUNK", "32"))
 LANES_MIN = 128
 
@@ -642,8 +642,12 @@ def _fwarp_xla_onehot(img: jnp.ndarray, flo: jnp.ndarray, D: int,
          for s in shifts], axis=-1)                     # [B,H,W,K]
     K = (2 * D + 1) * n
 
-    # row-chunked one-hot column scatter (zero-padded rows contribute 0)
-    ch = max(8, min(row_chunk, h))
+    # row-chunked one-hot column scatter (zero-padded rows contribute 0);
+    # the chunk is additionally capped so the [B,ch,W,W] one-hot operand
+    # stays under ~256 MB (at 720p W=1280 a 32-row chunk would be 734 MB)
+    cap = max(1, 256_000_000 // (b * w * w * (2 if cdt == jnp.bfloat16
+                                              else 4)))
+    ch = max(8, min(row_chunk, h, int(cap)))
     hp = -(-h // ch) * ch
     pad = hp - h
     if pad:
