@@ -378,12 +378,15 @@ class SepConvGRU(nn.Module):
             kq, bq = _ConvParams(hd, kshape, 2 * hd, name=names[2])()
             kzr = jnp.concatenate([kz, kr], axis=-1)
             bzr = jnp.concatenate([bz, br]).astype(self.dtype)
-            zr = (conv(h, kzr[:, :, :hd], pad) + conv(x, kzr[:, :, hd:], pad)
-                  + bzr)
+            # all three gates' x-branches share one conv pass (the
+            # q-gate's h-branch can't join: it reads r * h)
+            xzrq = conv(x, jnp.concatenate([kzr[:, :, hd:],
+                                            kq[:, :, hd:]], axis=-1), pad)
+            zr = conv(h, kzr[:, :, :hd], pad) + xzrq[..., :2 * hd] + bzr
             z = nn.sigmoid(zr[..., :hd])
             r = nn.sigmoid(zr[..., hd:])
             q = jnp.tanh(conv(r * h, kq[:, :, :hd], pad)
-                         + conv(x, kq[:, :, hd:], pad)
+                         + xzrq[..., 2 * hd:]
                          + bq.astype(self.dtype))
             return (1.0 - z) * h + z * q
 
