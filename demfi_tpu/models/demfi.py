@@ -560,8 +560,10 @@ class DeMFINet(nn.Module):
         b0 = ctx.frames[..., 0:3]
         b1 = ctx.frames[..., 3:6]
 
-        # t-alignment: CFR + feature warp/blend (Eq. 2)
-        flow_t0, flow_t1 = cfr_flow_t_align(ctx.flow_01, ctx.flow_10, t)
+        # t-alignment: CFR + feature warp/blend (Eq. 2); a bf16 model
+        # routes CFR's forward warps through the bf16 one-hot MXU path
+        flow_t0, flow_t1 = cfr_flow_t_align(ctx.flow_01, ctx.flow_10, t,
+                                            compute_dtype=self.dtype)
         occ_0 = nn.sigmoid(ctx.occ_0_logit.astype(jnp.float32))
         # features warp in their native dtype (bf16 rows gather exactly;
         # interpolation weights/accumulation are f32 inside bwarp)

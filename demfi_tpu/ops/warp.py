@@ -407,7 +407,8 @@ def _bilinear_abs_xla(img: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
-def fwarp(img: jnp.ndarray, flo: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def fwarp(img: jnp.ndarray, flo: jnp.ndarray,
+          compute_dtype=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Forward warp by scatter-adding to the 4 corner pixels.
 
     Each source pixel p is splatted to the four integer corners around
@@ -427,10 +428,15 @@ def fwarp(img: jnp.ndarray, flo: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]
         return _fwarp_fast(img, flo, _PALLAS_VR)
     if _on_tpu():
         dh = _FWARP_ONEHOT_D
-        if dh > 0 and w >= LANES_MIN and h >= 2 * dh:
+        bf16_compute = (img.dtype == jnp.bfloat16
+                        or compute_dtype == jnp.bfloat16)
+        if dh > 0 and w >= LANES_MIN and h >= 2 * dh and bf16_compute:
             # one-hot MXU matmul scatter: exact for any horizontal
-            # motion, vertical window guarded with scatter fallback
-            return _fwarp_onehot_fast(img, flo, dh, _FWARP_ONEHOT_CHUNK)
+            # motion, vertical window guarded with scatter fallback.
+            # bf16 compute only — the f32-HIGHEST one-hot loses to the
+            # quad scatter on-chip (see _fwarp_xla_onehot docstring)
+            return _fwarp_onehot_fast(img, flo, dh, _FWARP_ONEHOT_CHUNK,
+                                      True)
         ds = _FWARP_SHIFT_STENCIL_D
         if ds > 0 and h > 2 * ds and w >= 2 * LANES_MIN:
             # Mosaic shift-stencil kernel, guarded: big motion falls
@@ -583,7 +589,7 @@ def _fwarp_xla_shifts(img: jnp.ndarray, flo: jnp.ndarray, D: int
 
 
 def _fwarp_xla_onehot(img: jnp.ndarray, flo: jnp.ndarray, D: int,
-                      row_chunk: int = 32
+                      row_chunk: int = 32, force_bf16: bool = False
                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Forward warp as a one-hot MXU matmul + static-conv row shift.
 
@@ -616,7 +622,14 @@ def _fwarp_xla_onehot(img: jnp.ndarray, flo: jnp.ndarray, D: int,
     """
     b, h, w, c = img.shape
     f32 = jnp.float32
-    cdt = jnp.bfloat16 if img.dtype == jnp.bfloat16 else f32
+    # force_bf16: the caller runs a bfloat16 model but keeps flow
+    # fields in f32 (models/demfi.py synthesize) — run the GEMM
+    # operands in bf16 anyway (f32 accumulation). Measured on v5e at
+    # B=7 352x640: bf16 one-hot 72 ms vs f32-HIGHEST one-hot 154 ms vs
+    # quad scatter 118 ms (fwarp_onehot_r03.json) — the f32 one-hot
+    # LOSES to the scatter, so it is only dispatched for bf16 compute.
+    cdt = (jnp.bfloat16 if (img.dtype == jnp.bfloat16 or force_bf16)
+           else f32)
     prec = None if cdt == jnp.bfloat16 else jax.lax.Precision.HIGHEST
 
     dc = flo[..., 0].astype(f32)
@@ -691,8 +704,8 @@ def _fwarp_xla_onehot(img: jnp.ndarray, flo: jnp.ndarray, D: int,
     return out[..., :c].astype(img.dtype), out[..., c:].astype(img.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def _fwarp_onehot_fast(img, flo, d, row_chunk):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _fwarp_onehot_fast(img, flo, d, row_chunk, force_bf16=False):
     """Motion-guarded one-hot-matmul forward warp: exact for ANY
     horizontal motion; vertical splats with floor(dy) outside [-d, d-1]
     that land inside the image trigger the fused-scatter fallback.
@@ -704,15 +717,17 @@ def _fwarp_onehot_fast(img, flo, d, row_chunk):
     r1 = jnp.floor(flo[..., 1].astype(jnp.float32))
     ok = ~jnp.any(in_img_y & ((r1 < float(-d)) | (r1 > float(d - 1))))
     return _guarded(ok, lambda ii, ff: _fwarp_xla_onehot(ii, ff, d,
-                                                         row_chunk),
+                                                         row_chunk,
+                                                         force_bf16),
                     _fwarp_xla_quad, img, flo)
 
 
-def _fwarp_onehot_fast_fwd(img, flo, d, row_chunk):
-    return _fwarp_onehot_fast(img, flo, d, row_chunk), (img, flo)
+def _fwarp_onehot_fast_fwd(img, flo, d, row_chunk, force_bf16=False):
+    return (_fwarp_onehot_fast(img, flo, d, row_chunk, force_bf16),
+            (img, flo))
 
 
-def _fwarp_onehot_fast_bwd(d, row_chunk, res, g):
+def _fwarp_onehot_fast_bwd(d, row_chunk, force_bf16, res, g):
     _, vjp = jax.vjp(_fwarp_xla, *res)
     return vjp(g)
 
@@ -721,15 +736,18 @@ _fwarp_onehot_fast.defvjp(_fwarp_onehot_fast_fwd, _fwarp_onehot_fast_bwd)
 
 
 def cfr_flow_t_align(flow_01: jnp.ndarray, flow_10: jnp.ndarray,
-                     t: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                     t: jnp.ndarray, compute_dtype=None
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Complementary Flow Reversal (from XVFI; DeMFInet.py:606-622).
 
     flow_01/flow_10: [B,H,W,2]; t: broadcastable to [B,1,1,1].
-    Returns (flow_t0, flow_t1).
+    Returns (flow_t0, flow_t1). ``compute_dtype``: the caller's model
+    dtype — flows stay f32 here, but a bf16 model routes the forward
+    warps through the bf16 one-hot MXU path (see fwarp).
     """
     t = jnp.reshape(t, (-1, 1, 1, 1)).astype(flow_01.dtype)
-    w01, n0 = fwarp(flow_01, t * flow_01)
-    w10, n1 = fwarp(flow_10, (1.0 - t) * flow_10)
+    w01, n0 = fwarp(flow_01, t * flow_01, compute_dtype)
+    w10, n1 = fwarp(flow_10, (1.0 - t) * flow_10, compute_dtype)
 
     flow_t0 = -(1.0 - t) * t * w01 + t * t * w10
     flow_t1 = (1.0 - t) * (1.0 - t) * w01 - t * (1.0 - t) * w10

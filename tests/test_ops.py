@@ -341,3 +341,22 @@ def test_fwarp_onehot_matches_scatter():
                                np.asarray(ob, np.float32), atol=0.15)
     np.testing.assert_allclose(np.asarray(abn, np.float32),
                                np.asarray(obn, np.float32), atol=0.15)
+
+
+def test_fwarp_onehot_force_bf16_close():
+    """force_bf16 (bf16-model hint with f32 flow inputs): GEMM operands
+    in bf16, f32 accumulation — close to the exact f32 op at bf16
+    tolerance, output dtype preserved (f32)."""
+    from demfi_tpu.ops.warp import _fwarp_xla, _fwarp_xla_onehot
+
+    x = jnp.asarray(RNG.uniform(-20, 20, (2, 24, 40, 2)).astype(np.float32))
+    flo = jnp.stack(
+        [jnp.asarray(RNG.uniform(-20, 20, (2, 24, 40)).astype(np.float32)),
+         jnp.asarray(RNG.uniform(-6.9, 6.9, (2, 24, 40)).astype(np.float32))],
+        axis=-1)
+    a, an = _fwarp_xla(x, flo)
+    o, on = _fwarp_xla_onehot(x, flo, 8, force_bf16=True)
+    assert o.dtype == x.dtype
+    np.testing.assert_allclose(np.asarray(a), np.asarray(o),
+                               atol=0.35, rtol=0.02)
+    np.testing.assert_allclose(np.asarray(an), np.asarray(on), atol=0.05)
