@@ -58,6 +58,13 @@ def main():
     ap.add_argument("--inner", type=int, default=4,
                     help="windows per jitted timed region (amortizes the "
                          "dispatch floor)")
+    ap.add_argument("--wb", type=int, default=1,
+                    help="window batch: independent windows whose "
+                         "t-batches run as ONE [wb*7] synthesize batch. "
+                         "Measured on v5e at 352x640 bf16: wb=1 8.32 fps "
+                         "vs wb=2 7.37 — the one-hot fwarp's stacked "
+                         "operand penalizes B=14, so 1 is the default "
+                         "(matches config.eval_window_batch)")
     ap.add_argument("--readback", action="store_true",
                     help="include full host readback (tunnel-bound in dev)")
     ap.add_argument("--probe_timeout", type=float, default=300.0)
@@ -110,9 +117,11 @@ def main():
     import dataclasses as _dc
     cfg = _dc.replace(cfg, scan_booster=False)
     model = make_model(cfg)
+    wb = max(1, args.wb)
     rng = np.random.RandomState(0)
-    frames = jnp.asarray(rng.uniform(-1, 1, (1, 4, h, w, 3)).astype(np.float32))
-    params = model.init(jax.random.PRNGKey(0), frames[:, :, :64, :64],
+    frames = jnp.asarray(
+        rng.uniform(-1, 1, (wb, 4, h, w, 3)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), frames[:1, :, :64, :64],
                         jnp.zeros((1, 1)), num_update=1)
     ts = jnp.asarray(np.linspace(1 / 8, 7 / 8, 7, dtype=np.float32))
 
@@ -121,16 +130,20 @@ def main():
     def run_once():
         if args.readback:
             engine = InferenceEngine(model, params, num_update=args.n_tst)
-            engine.forward_window(np.asarray(frames), np.asarray(ts))
+            ts_nm = np.tile(np.asarray(ts)[None], (wb, 1))
+            engine.forward_windows(np.asarray(frames), ts_nm)
             t0 = time.time()
             for _ in range(args.iters):
-                engine.forward_window(np.asarray(frames), np.asarray(ts))
+                engine.forward_windows(np.asarray(frames), ts_nm)
             return (time.time() - t0) / args.iters, "e2e+readback"
 
         def window(params, frames, ts):
+            # wb independent windows -> ONE [wb*7] synthesize batch
+            # (the eval driver's window-batch layout, driver.py)
             ctx = model.apply(params, frames, method=model.extract)
             ctx = jax.tree_util.tree_map(
                 lambda x: jnp.repeat(x, ts.shape[0], axis=0), ctx)
+            ts = jnp.tile(ts, frames.shape[0])
             out = model.apply(params, ctx, ts[:, None], args.n_tst,
                               method=model.synthesize)
             # on-device checksum over every output frame
@@ -183,13 +196,13 @@ def main():
         dt, mode = run_once()
         mode += ", xla-fallback"
 
-    fps = 7.0 / dt
+    fps = wb * 7.0 / dt
     baseline_fps = 1.0 / 0.61  # reference Rt at 640x352 (Table 2)
     if args.cpu:
         mode += ", CPU-FALLBACK (not a TPU number)"
     print(json.dumps({
         "metric": f"x8 MFI interp frames/sec/chip ({h}x{w}, "
-                  f"N_tst={args.n_tst}, {args.dtype}, {mode})",
+                  f"N_tst={args.n_tst}, {args.dtype}, wb={wb}, {mode})",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / baseline_fps, 2),

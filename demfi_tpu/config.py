@@ -93,10 +93,12 @@ class DeMFIConfig:
     # eval (the reference re-runs the whole network per t, main.py:733-748).
     t_batched_eval: bool = True
     # Additionally batch this many same-shape windows per device call
-    # during untiled eval. Measured on v5e at 352x640 x8 bf16: wb=1
-    # 6.02 fps, wb=2 6.44 fps, wb=4 exceeds HBM (breakdown_wb.json) —
-    # 2 windows x 7 instants sits at the ~3.5M pixel-instant budget.
-    eval_window_batch: int = 2
+    # during untiled eval. Measured on v5e at 352x640 x8 bf16 with the
+    # round-2 scatter fwarp: wb=1 6.02 fps, wb=2 6.44 fps. With the
+    # round-3 one-hot-GEMM fwarp the ranking FLIPS (wb=1 8.32 fps,
+    # wb=2 7.37 — the [B,H,W,K] shift-stacked operand doubles and the
+    # footprint-capped row chunk halves), so the default is back to 1.
+    eval_window_batch: int = 1
     # Cap on t-values per device batch in the inference engine (0 = all
     # M-1 instants in one call). Tune for HBM at large resolutions.
     t_chunk: int = 0

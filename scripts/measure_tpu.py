@@ -252,12 +252,19 @@ def main():
         # drift vs the CPU goldens) — threshold accordingly
         put("golden_f32_ok", max(worst.values()) <= 5e-3)
 
+        # bf16 methodology: per-pixel probes and abs-max stats are NOT
+        # meaningful under bf16 — rounding a flow value changes WHICH
+        # source pixel a warp samples, so isolated activations diverge
+        # arbitrarily at motion edges while the field stays correct.
+        # The honest bf16 invariants are the mean/std of each output.
         got_bf16 = compute_stats(dtype="bfloat16")
-        worst16 = {k: max(abs(a - b) for a, b in zip(got_bf16[k], golden[k]))
-                   for k in golden if not k.startswith("flow")}
-        put("golden_bf16_worst_by_key", worst16)
+        worst16 = {k: max(abs(a - b) for a, b in
+                          zip(got_bf16[k][:2], golden[k][:2]))
+                   for k in golden
+                   if not k.startswith("flow") and not k.endswith("_pix")}
+        put("golden_bf16_meanstd_by_key", worst16)
         put("golden_bf16_worst_absdiff", max(worst16.values()))
-        put("golden_bf16_ok", max(worst16.values()) <= 0.12)
+        put("golden_bf16_ok", max(worst16.values()) <= 0.08)
 
     if "f32check" in sections:
         # On-chip golden-class probe for the round-2 f32 fusion
