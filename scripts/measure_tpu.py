@@ -188,7 +188,10 @@ def main():
     ts7 = jnp.asarray(np.linspace(1 / 8, 7 / 8, 7, dtype=np.float32))
     model_dtypes = (args.dtypes.split(",") if "model" in sections else ())
     for dt_name in model_dtypes:
-        cfg = config_rb(5, 3, compute_dtype=dt_name)
+        # unrolled booster = the inference engine's configuration
+        # (scan blocks cross-iteration specialization, ~200 ms/window
+        # slower at 352x640 — breakdown_r03.json scan-vs-unroll)
+        cfg = config_rb(5, 3, compute_dtype=dt_name, scan_booster=False)
         model = make_model(cfg)
         params = model.init(jax.random.PRNGKey(0), frames[:, :, :64, :64],
                             jnp.zeros((1, 1)), num_update=1)
@@ -227,6 +230,43 @@ def main():
         dtw = scalar_time(window, params, frames, ts7, floor=floor)
         put(f"window_x8_{tag}_ms", dtw * 1000)
         put(f"fps_{tag}", 7.0 / dtw)
+
+    if "train" in sections:
+        # One optimizer step of DeMFI-Net_rb(5,3) on the reference's
+        # training geometry (256x256 crops, /root/reference/main.py
+        # patch-based train loader) — evidence for the BASELINE "full
+        # training run" config. f32 is the reference contract and is
+        # clean at this size (the >=352x640 full-frame miscompile does
+        # not hit 256x256 — ROUND2_NOTES "Open bug").
+        from demfi_tpu.train import create_train_state, make_train_step
+        for dt_name in args.dtypes.split(","):
+            # per-chip batch: bf16 B=4 fits a v5e's 15.75G HBM; the f32
+            # step's N_trn=5 boost-unroll temporaries OOM at B=4 (26G),
+            # so f32 measures B=2 — DP over 'data' scales the global
+            # batch either way
+            bsz = 4 if dt_name == "bfloat16" else 2
+            tcfg = config_rb(5, 3, compute_dtype=dt_name, batch_size=bsz,
+                             patch_size=256)
+            tmodel = make_model(tcfg)
+            state, tx = create_train_state(
+                tcfg, tmodel, jax.random.PRNGKey(0),
+                sample_shape=(1, 4, 256, 256, 3))
+            step = make_train_step(tcfg, tmodel, tx)  # jitted, donates state
+            tb = jnp.asarray(rng.uniform(
+                -1, 1, (bsz, 9, 256, 256, 3)).astype(np.float32))
+            tt = jnp.full((bsz, 1), 0.375, jnp.float32)
+            st2, m = step(state, tb, tt)
+            float(m["total_loss"])  # compile + settle
+            t0 = time.time()
+            k = max(2, args.iters // 2)
+            for _ in range(k):
+                st2, m = step(st2, tb, tt)
+                float(m["total_loss"])
+            tag = "bf16" if dt_name == "bfloat16" else "f32"
+            put(f"train_step_b{bsz}_256_{tag}_ms",
+                (time.time() - t0) / k * 1000)
+            put(f"train_loss_finite_{tag}",
+                bool(np.isfinite(float(m["total_loss"]))))
 
     if "golden" in sections:
         # On-chip golden probe (round-2 VERDICT weak 5): the fixed-seed
