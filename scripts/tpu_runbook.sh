@@ -17,9 +17,9 @@ t0=time.time(); y=jax.jit(lambda a:a+1)(jnp.ones((8,8)))
 print('TPU alive:', float(np.asarray(y).sum()), f'{time.time()-t0:.1f}s')
 print(jax.devices())" || { echo "TPU unhealthy; aborting"; exit 1; }
 
-echo "--- measurement suite (352x640, incl. on-chip golden probe + f32 NaN check)"
+echo "--- measurement suite (352x640, incl. on-chip golden probe + f32 NaN check + train step)"
 timeout 3600 python scripts/measure_tpu.py --res 352x640 \
-    --sections basic,ops,pallas,model,golden,f32check \
+    --sections basic,ops,pallas,model,golden,f32check,train \
     --out "$OUT/measure.json" || echo "measure failed (continuing)"
 
 echo "--- bench bf16 352x640"
@@ -33,5 +33,13 @@ timeout 2400 python bench.py --res 352x640 --dtype float32 \
 echo "--- bench bf16 720p"
 timeout 3000 python bench.py --res 720x1280 --dtype bfloat16 \
     | tee "$OUT/bench_720p_bf16.json" || true
+
+echo "--- 720p instant-batch policy A/B (B=7 OOMs at 720p; t_map=B1 vs t_chunk=3)"
+timeout 3000 python scripts/measure_tpu.py --res 720x1280 \
+    --sections model --dtypes bfloat16 --t_map \
+    --out "$OUT/measure_720p_tmap.json" || true
+timeout 3000 python scripts/measure_tpu.py --res 720x1280 \
+    --sections model --dtypes bfloat16 --t_chunk 3 \
+    --out "$OUT/measure_720p_tchunk3.json" || true
 
 echo "=== runbook done $(date -u +%FT%TZ) ==="
