@@ -102,7 +102,9 @@ def test_cfr_with_pallas_fwarp_matches():
     orig = warp_mod.fwarp
     try:
         with pltpu.force_tpu_interpret_mode():
-            warp_mod.fwarp = lambda img, flo: fwarp_tpu(img, flo, vr=24)
+            warp_mod.fwarp = (
+                lambda img, flo, compute_dtype=None: fwarp_tpu(img, flo,
+                                                               vr=24))
             got0, got1 = W.cfr_flow_t_align(
                 jnp.asarray(f01), jnp.asarray(f10), jnp.asarray(t))
     finally:
