@@ -202,7 +202,8 @@ def evaluate(cfg: DeMFIConfig, engine: InferenceEngine, multiple: int,
                 frames = np.stack([c[0] for c in chunk])
                 ts_b = np.asarray([[it.t_value for it in c[4]]
                                    for c in chunk], np.float32)
-                results = engine.forward_windows(frames, ts_b)
+                results = engine.forward_windows(
+                    frames, ts_b, patch_boundary=cfg.patch_boundary)
             else:
                 results = [engine.forward_window(
                     c[0][None],
@@ -315,22 +316,26 @@ def evaluate(cfg: DeMFIConfig, engine: InferenceEngine, multiple: int,
         allp = np.asarray(multihost_utils.process_allgather(local))
         allp = allp.reshape(-1, 10)
         sums, counts = allp[:, :5].sum(0), allp[:, 5:].sum(0)
-        agg = sums / np.maximum(counts, 1)
         for m, s_, c_ in zip(meters, sums, counts):
             m.sum, m.count = float(s_), int(c_)
             m.avg = float(s_ / max(c_, 1))
         print(f"[eval shard {pid}/{pcount}] aggregated over "
               f"{int(counts[1])} interp samples across processes")
 
-    print("-" * 40 + f" x{multiple} MFI results " + "-" * 40)
+    # per-stage tables read the per-slot meters, which are process-local
+    # under scene sharding (only the headline meters above are
+    # cross-process aggregated) — label them and count local windows
+    loc = f" [proc {pid} local]" if pcount > 1 else ""
+    n_print = len(owned) if pcount > 1 else n_windows
+    print("-" * 40 + f" x{multiple} MFI results{loc} " + "-" * 40)
     for k in ("prime", "final"):
         stage = "Stage I" if k == "prime" else "Stage II"
-        pp = ProgressPrinter(n_windows, *total[k].psnr.values(),
-                             prefix=f"[PSNR {stage} (7 intp, 1 dblr)] :")
-        pp.print(n_windows)
-        ps = ProgressPrinter(n_windows, *total[k].ssim.values(),
-                             prefix=f"[SSIM {stage} (7 intp, 1 dblr)] :")
-        ps.print(n_windows)
+        pp = ProgressPrinter(n_print, *total[k].psnr.values(),
+                             prefix=f"[PSNR {stage} (7 intp, 1 dblr)]{loc} :")
+        pp.print(n_print)
+        ps = ProgressPrinter(n_print, *total[k].ssim.values(),
+                             prefix=f"[SSIM {stage} (7 intp, 1 dblr)]{loc} :")
+        ps.print(n_print)
     if cfg.experimental_tof:
         print(" tOF (EXPERIMENTAL, unvalidated definition):", tof_meter.avg)
     print(" Average Inference Time per Window:", batch_time.avg)

@@ -54,14 +54,21 @@ _f32_route_warned: List[bool] = []
 def _f32_tpu_tiling(h: int, w: int, patch_boundary: int
                     ) -> Tuple[int, int]:
     """Smallest (n_ph, n_pw) grid whose tiles (incl. halo) stay within
-    the f32-safe pixel count."""
+    the f32-safe pixel count. With a halo so large that no grid can
+    satisfy the budget (4*pb^2 > budget), returns the finest sensible
+    grid instead of looping forever."""
+    pb = max(patch_boundary, 1)
     n_ph, n_pw = 1, 1
+    max_ph = max(h // pb, 1)
+    max_pw = max(w // pb, 1)
     while True:
         th = -(-h // n_ph) + 2 * patch_boundary
         tw = -(-w // n_pw) + 2 * patch_boundary
         if th * tw <= _F32_TPU_SAFE_PIXELS:
             return n_ph, n_pw
-        if th >= tw and n_ph < h // patch_boundary:
+        if n_ph >= max_ph and n_pw >= max_pw:
+            return n_ph, n_pw
+        if (th >= tw or n_pw >= max_pw) and n_ph < max_ph:
             n_ph += 1
         else:
             n_pw += 1
@@ -282,10 +289,13 @@ class InferenceEngine:
         _F32_TPU_SAFE_PIXELS above). No-op for bf16, CPU, already-tiled
         calls, or with DEMFI_F32_TPU_UNSAFE_OK=1."""
         import os
+        # int-parsed like every other DEMFI_* switch ("0" keeps the guard)
+        unsafe_ok = bool(int(os.environ.get("DEMFI_F32_TPU_UNSAFE_OK",
+                                            "0") or "0"))
         if (test_patch != (1, 1)
                 or self.model.dtype != jnp.float32
                 or h * w <= _F32_TPU_SAFE_PIXELS
-                or os.environ.get("DEMFI_F32_TPU_UNSAFE_OK")
+                or unsafe_ok
                 or jax.default_backend() != "tpu"):
             return test_patch
         routed = _f32_tpu_tiling(h, w, patch_boundary)
@@ -300,26 +310,29 @@ class InferenceEngine:
                   f"path.", flush=True)
         return routed
 
-    def forward_windows(self, frames: np.ndarray, ts: np.ndarray
-                        ) -> List[WindowResult]:
+    def forward_windows(self, frames: np.ndarray, ts: np.ndarray,
+                        patch_boundary: int = 32) -> List[WindowResult]:
         """Batched untiled inference: frames [N,4,H,W,3], ts [N,M].
 
         Applies the same HBM pixel-instant budget as ``forward_window``,
         scaled by the window multiplicity: the t axis is chunked, and if
         even one instant of the N-window batch exceeds the budget the
-        windows run individually (through the tiled-capable path)."""
+        windows run individually (through the tiled-capable path, with
+        the caller's ``patch_boundary`` halo)."""
         ts = np.asarray(ts, np.float32)
         n, m = ts.shape
         if self._route_f32_tpu(frames.shape[2], frames.shape[3],
-                               (1, 1), 32) != (1, 1):
+                               (1, 1), patch_boundary) != (1, 1):
             # f32 miscompile guard: run windows individually through the
             # tiled-capable path
-            return [self.forward_window(frames[i:i + 1], ts[i])
+            return [self.forward_window(frames[i:i + 1], ts[i],
+                                        patch_boundary=patch_boundary)
                     for i in range(n)]
         chunk = self._effective_t_chunk(frames.shape[2], frames.shape[3],
                                         m, n_windows=n)
         if chunk == 0:
-            return [self.forward_window(frames[i:i + 1], ts[i])
+            return [self.forward_window(frames[i:i + 1], ts[i],
+                                        patch_boundary=patch_boundary)
                     for i in range(n)]
         if chunk and m > chunk:
             parts = [self._run(frames, ts[:, i:i + chunk])

@@ -586,8 +586,6 @@ def fwarp_shift_tpu(img: jnp.ndarray, flo: jnp.ndarray, *, D: int = 8,
                                           c_ + s, 0),
             memory_space=pltpu.VMEM)
 
-    in_specs = [view(k, s) for k in range(n_slabs) for s in range(3)]
-
     if v2:
         # per-block padded canvas: block_rows core rows + 8 pad rows on
         # each side so the fori_loop's dynamic 8-row band stores never
@@ -629,7 +627,8 @@ def fwarp_shift_tpu(img: jnp.ndarray, flo: jnp.ndarray, *, D: int = 8,
             kernel,
             out_shape=jax.ShapeDtypeStruct((b, hp, wp, cp), jnp.float32),
             grid=grid,
-            in_specs=in_specs,
+            in_specs=[view(k, s)
+                      for k in range(n_slabs) for s in range(3)],
             out_specs=pl.BlockSpec((1, block_rows, LANES, cp),
                                    lambda b_, r_, c_: (b_, r_, c_, 0),
                                    memory_space=pltpu.VMEM),

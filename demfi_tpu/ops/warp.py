@@ -89,6 +89,9 @@ _FWARP_SHIFT_STENCIL_D = int(os.environ.get("DEMFI_FWARP_SHIFT", "0"))
 # operand's HBM footprint.
 _FWARP_ONEHOT_D = int(os.environ.get("DEMFI_FWARP_ONEHOT_D", "32"))
 _FWARP_ONEHOT_CHUNK = int(os.environ.get("DEMFI_FWARP_ONEHOT_CHUNK", "32"))
+# HBM footprint bound for the [B,ch,W,W] one-hot GEMM operand; the row
+# chunk is capped so the operand never exceeds this many bytes
+_ONEHOT_FOOTPRINT_BYTES = 256_000_000
 LANES_MIN = 128
 
 
@@ -658,9 +661,13 @@ def _fwarp_xla_onehot(img: jnp.ndarray, flo: jnp.ndarray, D: int,
     # row-chunked one-hot column scatter (zero-padded rows contribute 0);
     # the chunk is additionally capped so the [B,ch,W,W] one-hot operand
     # stays under ~256 MB (at 720p W=1280 a 32-row chunk would be 734 MB)
-    cap = max(1, 256_000_000 // (b * w * w * (2 if cdt == jnp.bfloat16
-                                              else 4)))
-    ch = max(8, min(row_chunk, h, int(cap)))
+    cap = max(1, _ONEHOT_FOOTPRINT_BYTES
+              // (b * w * w * (2 if cdt == jnp.bfloat16 else 4)))
+    # the footprint cap must win over the 8-row efficiency floor: at
+    # w>=1920 b=7 the cap drops below 8 and forcing 8 rows would put the
+    # [B,ch,W,W] one-hot operand far past the documented ~256 MB bound
+    ch = min(max(8, min(row_chunk, h)), int(cap), h)
+    ch = max(1, ch)
     hp = -(-h // ch) * ch
     pad = hp - h
     if pad:

@@ -220,3 +220,50 @@ def test_f32_tpu_reroute_logic(engine, monkeypatch):
     assert engine._route_f32_tpu(352, 640, (2, 2), 32) == (2, 2)
     monkeypatch.setenv("DEMFI_F32_TPU_UNSAFE_OK", "1")
     assert engine._route_f32_tpu(352, 640, (1, 1), 32) == (1, 1)
+
+
+def test_f32_tiling_and_env_guard_edge_cases(engine, monkeypatch):
+    """Round-3 review fixes: the tiling chooser terminates for degenerate
+    halos (pb=0, pb larger than any budget-satisfying tile) and the
+    DEMFI_F32_TPU_UNSAFE_OK escape hatch is int-parsed ("0" keeps the
+    reroute guard ON)."""
+    import jax
+    import demfi_tpu.infer.engine as eng_mod
+    _, _, engine = engine
+
+    # degenerate halos must terminate (previously: ZeroDivisionError for
+    # pb=0; infinite loop for pb so large no grid satisfies the budget)
+    assert eng_mod._f32_tpu_tiling(720, 1280, 0)[0] >= 1
+    nph, npw = eng_mod._f32_tpu_tiling(720, 1280, 200)
+    assert nph >= 1 and npw >= 1
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setenv("DEMFI_F32_TPU_UNSAFE_OK", "0")
+    assert engine._route_f32_tpu(352, 640, (1, 1), 32) != (1, 1)
+    monkeypatch.setenv("DEMFI_F32_TPU_UNSAFE_OK", "1")
+    assert engine._route_f32_tpu(352, 640, (1, 1), 32) == (1, 1)
+
+
+def test_onehot_chunk_cap_beats_floor(monkeypatch):
+    """The one-hot fwarp's HBM footprint cap must override the 8-row
+    efficiency floor at large widths (review finding: b=7 w=1920 bf16
+    gives cap=4; forcing 8 rows doubles the documented ~256 MB bound).
+    Shrink the cap so the sub-8 chunk path runs at test sizes and stays
+    exact."""
+    import numpy as np
+    import jax.numpy as jnp
+    import demfi_tpu.ops.warp as W
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(1, 16, 32, 2).astype(np.float32))
+    flo = jnp.stack(
+        [jnp.asarray(rng.uniform(-20, 20, (1, 16, 32)).astype(np.float32)),
+         jnp.asarray(rng.uniform(-3.9, 3.9, (1, 16, 32)).astype(np.float32))],
+        axis=-1)
+    want, wantn = W._fwarp_xla(x, flo)
+    # cap -> 3 rows/chunk (1*32*32*4 bytes * 3); 16 rows pad to 18
+    monkeypatch.setattr(W, "_ONEHOT_FOOTPRINT_BYTES", 32 * 32 * 4 * 3)
+    got, gotn = W._fwarp_xla_onehot(x, flo, 4, row_chunk=32)
+    np.testing.assert_allclose(np.asarray(want), np.asarray(got), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(wantn), np.asarray(gotn),
+                               atol=2e-5)
