@@ -42,4 +42,10 @@ timeout 3000 python scripts/measure_tpu.py --res 720x1280 \
     --sections model --dtypes bfloat16 --t_chunk 3 \
     --out "$OUT/measure_720p_tchunk3.json" || true
 
+echo "--- one-hot fwarp vertical-window sweep (K=(2D+1)(C+1) scales the GEMM)"
+for D in 8 16 32; do
+  timeout 2400 python scripts/time_fwarp_onehot.py --res 352x640 --B 7 \
+      --D "$D" --out "$OUT/fwarp_onehot_D$D.json" || true
+done
+
 echo "=== runbook done $(date -u +%FT%TZ) ==="
