@@ -48,4 +48,8 @@ for D in 8 16 32; do
       --D "$D" --out "$OUT/fwarp_onehot_D$D.json" || true
 done
 
+echo "--- fresh stage breakdown (re-rank Stage-II glue post one-hot fwarp)"
+timeout 3600 python scripts/breakdown_tpu.py --res 352x640 \
+    --stages warps,synth --out "$OUT/breakdown.json" || true
+
 echo "=== runbook done $(date -u +%FT%TZ) ==="
