@@ -48,6 +48,12 @@ for D in 8 16 32; do
       --D "$D" --out "$OUT/fwarp_onehot_D$D.json" || true
 done
 
+echo "--- one-hot fwarp D sweep at 720p, B=1 (CFR geometry for the 720p window)"
+for D in 8 16 32; do
+  timeout 2400 python scripts/time_fwarp_onehot.py --res 720x1280 --B 1 \
+      --D "$D" --out "$OUT/fwarp_onehot_720p_D$D.json" || true
+done
+
 echo "--- fresh stage breakdown (re-rank Stage-II glue post one-hot fwarp)"
 timeout 3600 python scripts/breakdown_tpu.py --res 352x640 \
     --stages warps,synth --out "$OUT/breakdown.json" || true
