@@ -209,7 +209,14 @@ def main():
         mode += ", xla-fallback"
 
     fps = wb * 7.0 / dt
-    baseline_fps = 1.0 / 0.61  # reference Rt at 640x352 (Table 2)
+    # Reference Rt = 0.61 s/frame at 640x352 (Table 2). At other
+    # resolutions scale Rt by the pixel ratio (model FLOPs are linear
+    # in pixels) so vs_baseline stays an apples-to-apples per-frame
+    # comparison at matched geometry.
+    px_scale = (h * w) / (352.0 * 640.0)
+    baseline_fps = 1.0 / (0.61 * px_scale)
+    if px_scale != 1.0:
+        mode += ", baseline Rt pixel-scaled from 640x352"
     if args.cpu:
         mode += ", CPU-FALLBACK (not a TPU number)"
     print(json.dumps({
