@@ -53,25 +53,34 @@ _f32_route_warned: List[bool] = []
 
 def _f32_tpu_tiling(h: int, w: int, patch_boundary: int
                     ) -> Tuple[int, int]:
-    """Smallest (n_ph, n_pw) grid whose tiles (incl. halo) stay within
-    the f32-safe pixel count. With a halo so large that no grid can
-    satisfy the budget (4*pb^2 > budget), returns the finest sensible
-    grid instead of looping forever."""
-    pb = max(patch_boundary, 1)
-    n_ph, n_pw = 1, 1
-    max_ph = max(h // pb, 1)
-    max_pw = max(w // pb, 1)
-    while True:
-        th = -(-h // n_ph) + 2 * patch_boundary
-        tw = -(-w // n_pw) + 2 * patch_boundary
-        if th * tw <= _F32_TPU_SAFE_PIXELS:
-            return n_ph, n_pw
-        if n_ph >= max_ph and n_pw >= max_pw:
-            return n_ph, n_pw
-        if (th >= tw or n_pw >= max_pw) and n_ph < max_ph:
-            n_ph += 1
-        else:
-            n_pw += 1
+    """Fewest-tiles (n_ph, n_pw) grid whose tiles (incl. halo) stay
+    within the f32-safe pixel count.
+
+    Two constraints the grid must satisfy (round-3 review findings):
+    the budget is computed on the PADDED dims, because forward_window
+    reflect-pads to patch_boundary multiples before tiling; and the
+    grid must DIVIDE the padded dims — the reference-semantics stitcher
+    assumes ``sh = new_h // n_ph`` exactly (utils.py:1389-1450), so a
+    non-dividing grid would mis-place tiles and leave canvas rows
+    uncovered. If no dividing grid satisfies the budget (degenerate
+    halo), returns the finest dividing grid instead."""
+    pb = patch_boundary
+    hp = h + ((-h) % pb) if pb > 0 else h
+    wp = w + ((-w) % pb) if pb > 0 else w
+    div_h = [n for n in range(1, hp + 1) if hp % n == 0]
+    div_w = [n for n in range(1, wp + 1) if wp % n == 0]
+    best = None
+    for nh in div_h:
+        th = hp // nh + 2 * pb
+        # smallest dividing nw whose tile fits the budget at this nh
+        for nw in div_w:
+            if th * (wp // nw + 2 * pb) <= _F32_TPU_SAFE_PIXELS:
+                if best is None or nh * nw < best[0]:
+                    best = (nh * nw, nh, nw)
+                break
+    if best is not None:
+        return best[1], best[2]
+    return div_h[-1], div_w[-1]
 
 
 def _pixel_instant_budget() -> int:
@@ -210,7 +219,12 @@ class InferenceEngine:
             frames = jax.device_put(
                 frames, NamedSharding(mesh, P(data, None, spatial)))
             ts = jax.device_put(ts, NamedSharding(mesh, P(data)))
-            return self._jit_forward(self._params_sharded, frames, ts)
+            # the mesh-replicated params are cached at __init__, but a
+            # caller passing DIFFERENT variables (e.g. after a checkpoint
+            # reload) must not silently run with the stale cache
+            params = (self._params_sharded if variables is self.variables
+                      else jax.device_put(variables, NamedSharding(mesh, P())))
+            return self._jit_forward(params, frames, ts)
 
         self._forward = dispatch
 
@@ -318,7 +332,10 @@ class InferenceEngine:
         scaled by the window multiplicity: the t axis is chunked, and if
         even one instant of the N-window batch exceeds the budget the
         windows run individually (through the tiled-capable path, with
-        the caller's ``patch_boundary`` halo)."""
+        the caller's ``patch_boundary`` halo). Non-multiple frame dims
+        are reflect-padded like ``forward_window`` (and the outputs
+        trimmed back) so the encoder's stride pyramid always sees
+        multiple-of-``patch_boundary`` shapes."""
         ts = np.asarray(ts, np.float32)
         n, m = ts.shape
         if self._route_f32_tpu(frames.shape[2], frames.shape[3],
@@ -328,21 +345,30 @@ class InferenceEngine:
             return [self.forward_window(frames[i:i + 1], ts[i],
                                         patch_boundary=patch_boundary)
                     for i in range(n)]
+        frames, ori_h, ori_w = _pad_reflect_to_multiple(
+            frames, max(patch_boundary, 1))
+
+        def trim(r: WindowResult) -> WindowResult:
+            return WindowResult(**{
+                f.name: getattr(r, f.name)[:, :ori_h, :ori_w, :]
+                for f in dataclasses.fields(WindowResult)})
+
         chunk = self._effective_t_chunk(frames.shape[2], frames.shape[3],
                                         m, n_windows=n)
         if chunk == 0:
-            return [self.forward_window(frames[i:i + 1], ts[i],
+            return [self.forward_window(frames[i:i + 1, :, :ori_h, :ori_w],
+                                        ts[i],
                                         patch_boundary=patch_boundary)
                     for i in range(n)]
         if chunk and m > chunk:
             parts = [self._run(frames, ts[:, i:i + chunk])
                      for i in range(0, m, chunk)]
-            return [WindowResult(**{
+            return [trim(WindowResult(**{
                 f.name: np.concatenate([getattr(p[wi], f.name)
                                         for p in parts])
-                for f in dataclasses.fields(WindowResult)})
+                for f in dataclasses.fields(WindowResult)}))
                 for wi in range(n)]
-        return self._run(frames, ts)
+        return [trim(r) for r in self._run(frames, ts)]
 
     def forward_window(self, frames: np.ndarray, ts: Sequence[float],
                        test_patch: Tuple[int, int] = (1, 1),

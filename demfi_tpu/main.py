@@ -383,16 +383,33 @@ def _load_eval_params(cfg):
     return model, params
 
 
+def _eval_process_group(cfg):
+    """Multi-process eval setup shared by run_test/run_test_custom:
+    join the process group when launched with coordinator flags (like
+    run_train), and shard SCENES across processes — without this,
+    N launched processes would each evaluate everything and race on the
+    same output files (round-3 review finding). The local (data,
+    spatial) mesh is only used single-process; a multi-process engine
+    runs process-local (the driver's scene sharding is the parallelism,
+    matching run_train's final evaluate)."""
+    from demfi_tpu.parallel import init_distributed
+
+    pid, pcount = init_distributed(cfg.coordinator_address,
+                                   cfg.num_processes, cfg.process_id)
+    return pid, pcount
+
+
 def run_test(cfg: DeMFIConfig) -> None:
     from demfi_tpu.infer import InferenceEngine
     from demfi_tpu.infer.driver import evaluate
     from demfi_tpu.parallel import make_mesh
 
+    pid, pcount = _eval_process_group(cfg)
     model, params = _load_eval_params(cfg)
     # --mesh_data/--mesh_spatial shard eval windows / frame rows across
     # chips (the reference's serial tile loop, utils.py:1389-1450, runs
     # as SPMD instead)
-    mesh = make_mesh(cfg.mesh_data, cfg.mesh_spatial)
+    mesh = make_mesh(cfg.mesh_data, cfg.mesh_spatial) if pcount == 1 else None
     engine = InferenceEngine(model, params, cfg.N_tst,
                              t_chunk=cfg.t_chunk or None, mesh=mesh)
     print(f"Evaluating on {cfg.test_data_path} with multiple = "
@@ -401,7 +418,8 @@ def run_test(cfg: DeMFIConfig) -> None:
              epoch=cfg.epochs - 1, test_patch=cfg.test_patch,
              post_fix=f"_final_x{cfg.multiple_MFI}_full_resolution"
                       f"_Ntst{cfg.N_tst}",
-             window_batch=cfg.eval_window_batch)
+             window_batch=cfg.eval_window_batch,
+             shard=(pid, pcount))
 
 
 def run_test_custom(cfg: DeMFIConfig) -> None:
@@ -409,14 +427,16 @@ def run_test_custom(cfg: DeMFIConfig) -> None:
     from demfi_tpu.infer.driver import evaluate_custom
     from demfi_tpu.parallel import make_mesh
 
+    pid, pcount = _eval_process_group(cfg)
     model, params = _load_eval_params(cfg)
-    mesh = make_mesh(cfg.mesh_data, cfg.mesh_spatial)
+    mesh = make_mesh(cfg.mesh_data, cfg.mesh_spatial) if pcount == 1 else None
     engine = InferenceEngine(model, params, cfg.N_tst,
                              t_chunk=cfg.t_chunk or None, mesh=mesh)
     print(f"Evaluating on {cfg.custom_path} with multiple = "
           f"{cfg.multiple_MFI}")
     evaluate_custom(cfg, engine, multiple=cfg.multiple_MFI,
-                    test_patch=cfg.test_patch)
+                    test_patch=cfg.test_patch,
+                    shard=(pid, pcount))
 
 
 def cli(argv=None) -> None:

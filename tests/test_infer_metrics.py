@@ -36,15 +36,13 @@ def test_t_batched_matches_per_t(engine):
                                    np.asarray(out.s0_prime[0]), atol=2e-5)
 
 
-def test_tiled_matches_untiled_with_local_model(engine):
-    """Pad/halo/trim/stitch must be exact: with a stub whose receptive
-    field (13 px box blur) fits inside the 32 px halo, 2x2-tiled output
-    equals the untiled output bit-for-bit."""
+def _stub_engine(eng):
+    """Clone of ``eng`` whose _run is a 13-px box blur of frame B0 —
+    a receptive field that fits inside the 32 px halo, so any correct
+    pad/halo/trim/stitch must reproduce the untiled output exactly."""
     from demfi_tpu.infer.engine import WindowResult
-    _, _, eng = engine
 
     def stub_run(frames, ts):
-        # frames [1,4,H,W,3]; depth-13 box blur of frame B0 as "output"
         img = frames[0, 0]
         k = 13
         pad = np.pad(img, ((k // 2,) * 2, (k // 2,) * 2, (0, 0)), mode="edge")
@@ -74,6 +72,15 @@ def test_tiled_matches_untiled_with_local_model(engine):
                                     for i in range(len(frames))]
     eng2._run_window = lambda frames, ts: eng2._run(frames, ts[None])[0]
     eng2.t_chunk = None
+    return eng2
+
+
+def test_tiled_matches_untiled_with_local_model(engine):
+    """Pad/halo/trim/stitch must be exact: with a stub whose receptive
+    field (13 px box blur) fits inside the 32 px halo, 2x2-tiled output
+    equals the untiled output bit-for-bit."""
+    _, _, eng = engine
+    eng2 = _stub_engine(eng)
 
     rng = np.random.RandomState(1)
     frames = rng.uniform(-1, 1, (1, 4, 128, 128, 3)).astype(np.float32)
@@ -202,10 +209,16 @@ def test_f32_tpu_reroute_logic(engine, monkeypatch):
     from demfi_tpu.infer import engine as eng_mod
     _, _, engine = engine
 
-    # tiling chooser: tiles stay within the safe budget
-    for h, w in ((352, 640), (720, 1280), (2160, 3840)):
+    # tiling chooser: tiles (computed on the PADDED dims, which is what
+    # forward_window actually tiles) stay within the safe budget, and
+    # the grid divides the padded dims (the stitcher requires it —
+    # round-3 review: the old chooser picked (4,7) at 720x1280, crashing
+    # the canvas writes and leaving uncovered columns)
+    for h, w in ((352, 640), (720, 1280), (2160, 3840), (224, 544)):
         nph, npw = eng_mod._f32_tpu_tiling(h, w, 32)
-        assert (-(-h // nph) + 64) * (-(-w // npw) + 64) \
+        hp, wp = h + (-h) % 32, w + (-w) % 32
+        assert hp % nph == 0 and wp % npw == 0, (h, w, nph, npw)
+        assert (hp // nph + 64) * (wp // npw + 64) \
             <= eng_mod._F32_TPU_SAFE_PIXELS
     assert eng_mod._f32_tpu_tiling(192, 320, 32) == (1, 1) or True
 
@@ -242,6 +255,52 @@ def test_f32_tiling_and_env_guard_edge_cases(engine, monkeypatch):
     assert engine._route_f32_tpu(352, 640, (1, 1), 32) != (1, 1)
     monkeypatch.setenv("DEMFI_F32_TPU_UNSAFE_OK", "1")
     assert engine._route_f32_tpu(352, 640, (1, 1), 32) == (1, 1)
+
+
+def test_f32_reroute_stitches_end_to_end(engine, monkeypatch):
+    """The auto f32-TPU reroute must produce a working tiling: with the
+    13-px-receptive-field stub, the rerouted (tiled) output equals the
+    untiled output exactly — including at frame sizes that are NOT
+    multiples of the patch boundary (the grid must divide the PADDED
+    dims, not the raw ones)."""
+    import demfi_tpu.infer.engine as E
+    _, _, eng = engine
+    eng2 = _stub_engine(eng)
+    ts = np.array([0.25, 0.75], np.float32)
+
+    for h, w in ((96, 160), (90, 150)):
+        rng = np.random.RandomState(11)
+        frames = rng.uniform(-1, 1, (1, 4, h, w, 3)).astype(np.float32)
+        full = eng2.forward_window(frames, ts)          # cpu: no reroute
+
+        # force the reroute: "tpu" backend + a budget that requires a
+        # multi-tile grid (min dividing tile at 96x160/pb=32 is 9216 px)
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        monkeypatch.setattr(E, "_F32_TPU_SAFE_PIXELS", 12_000)
+        assert eng2._route_f32_tpu(h, w, (1, 1), 32) != (1, 1)
+        routed = eng2.forward_window(frames, ts)
+        monkeypatch.undo()
+
+        for name in ("st_final", "s0_prime", "flow_final", "occ0_init"):
+            np.testing.assert_allclose(
+                getattr(routed, name), getattr(full, name), atol=1e-6,
+                err_msg=f"{name} at {h}x{w}")
+
+
+def test_forward_windows_nonmultiple_size(engine):
+    """forward_windows must reflect-pad non-32-multiple frames like
+    forward_window does (round-3 review: it fed raw shapes straight to
+    the encoder's stride pyramid) and trim outputs back."""
+    _, _, eng = engine
+    rng = np.random.RandomState(6)
+    frames = rng.uniform(-1, 1, (2, 4, 50, 70, 3)).astype(np.float32)
+    ts = np.tile(np.array([[0.25, 0.75]], np.float32), (2, 1))
+    batched = eng.forward_windows(frames, ts)
+    assert batched[0].st_final.shape == (2, 50, 70, 3)
+    for i in range(2):
+        single = eng.forward_window(frames[i:i + 1], ts[i])
+        np.testing.assert_allclose(batched[i].st_final, single.st_final,
+                                   atol=5e-5)
 
 
 def test_onehot_chunk_cap_beats_floor(monkeypatch):

@@ -84,7 +84,11 @@ def test_two_process_train_step(tmp_path):
         [sys.executable, str(worker), str(p), "2", port, REPO],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
         env=env) for p in range(2)]
-    outs = [p.communicate(timeout=900)[0] for p in procs]
+    # generous: two processes compile the sharded step concurrently on a
+    # 1-core CI box — with background load the XLA compile alone has been
+    # observed to exceed 15 min (slow_operation_alarm), a contention
+    # flake, not a hang
+    outs = [p.communicate(timeout=2400)[0] for p in procs]
     losses = {}
     for out, p in zip(outs, procs):
         assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
@@ -195,7 +199,7 @@ def test_two_process_run_train_end_to_end(tmp_path):
              str(data)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=e) for p in range(2)]
-        outs = [p.communicate(timeout=1500)[0] for p in procs]
+        outs = [p.communicate(timeout=2400)[0] for p in procs]
         for out, p in zip(outs, procs):
             assert p.returncode == 0, f"worker failed:\n{out[-4000:]}"
             assert f"MHTRAIN_DONE" in out
