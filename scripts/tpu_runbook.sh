@@ -54,6 +54,37 @@ for D in 8 16 32; do
       --D "$D" --out "$OUT/fwarp_onehot_720p_D$D.json" || true
 done
 
+echo "--- bench at the D-sweep winner (only if a non-default D wins by >3%)"
+WINNER=$(python - "$OUT" <<'EOF'
+import glob, json, sys
+best = (32, float("inf")); d32 = None
+for f in glob.glob(f"{sys.argv[1]}/fwarp_onehot_D*.json"):
+    if "720p" in f:
+        continue
+    try:
+        r = json.load(open(f))
+        ms = r.get("onehot_guarded_bf16_ms")
+        if ms is None:
+            continue
+        if r["D"] == 32:
+            d32 = ms
+        if ms < best[1]:
+            best = (r["D"], ms)
+    except Exception:
+        pass
+print(best[0] if (d32 and best[1] < 0.97 * d32) else 32)
+EOF
+)
+echo "D winner: $WINNER"
+if [ "$WINNER" != "32" ]; then
+  timeout 2400 env DEMFI_FWARP_ONEHOT_D="$WINNER" \
+      python bench.py --res 352x640 --dtype bfloat16 \
+      | tee "$OUT/bench_352x640_bf16_D$WINNER.json" || true
+  timeout 3000 env DEMFI_FWARP_ONEHOT_D="$WINNER" \
+      python bench.py --res 720x1280 --dtype bfloat16 \
+      | tee "$OUT/bench_720p_bf16_D$WINNER.json" || true
+fi
+
 echo "--- fresh stage breakdown (re-rank Stage-II glue post one-hot fwarp)"
 timeout 3600 python scripts/breakdown_tpu.py --res 352x640 \
     --stages warps,synth --out "$OUT/breakdown.json" || true
