@@ -164,6 +164,109 @@ print(f"MHTRAIN_DONE {pid}", flush=True)
 """
 
 
+_EVAL_WORKER = r"""
+import os, sys
+pid, n, port, repo, data = (int(sys.argv[1]), int(sys.argv[2]),
+                            sys.argv[3], sys.argv[4], sys.argv[5])
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+sys.path.insert(0, repo)
+
+from demfi_tpu.main import cli
+
+cli(["--phase", "test", "--epochs", "1", "--multiple_MFI", "2",
+     "--test_data_path", data,
+     "--checkpoint_dir", os.path.join(data, "ckpt"),
+     "--log_dir", os.path.join(data, "log"),
+     "--text_dir", os.path.join(data, "text"),
+     "--test_img_dir", os.path.join(data, "imgs"),
+     "--nf", "16", "--num_ResB_FACFB", "1", "--num_ResB_Dec", "1",
+     "--N_tst", "1",
+     "--coordinator_address", f"localhost:{port}",
+     "--num_processes", str(n), "--process_id", str(pid)])
+print(f"MHEVAL_DONE {pid}", flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_two_process_phase_test_scene_sharded(tmp_path):
+    """CLI-level multi-process eval (`--phase test` with coordinator
+    flags): run_test must join the process group, shard SCENES across
+    the two processes (disjoint outputs, no file races) and
+    cross-process-aggregate the headline meters — the round-3 review
+    found N launched eval processes each evaluated everything."""
+    import re
+
+    import cv2
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+    data = tmp_path / "ds"
+    for s in range(4):
+        sharp = data / "test" / f"scene{s}"
+        blur = data / "test_blur" / f"scene{s}"
+        sharp.mkdir(parents=True)
+        blur.mkdir(parents=True)
+        for i in range(60):
+            cv2.imwrite(str(sharp / f"{str(i).zfill(5)}.png"),
+                        rng.randint(0, 255, (48, 64, 3), np.uint8))
+        for k in range(5):
+            cv2.imwrite(str(blur / f"{str(17 + 8 * k).zfill(5)}.png"),
+                        rng.randint(0, 255, (48, 64, 3), np.uint8))
+
+    # checkpoint the eval workers will load (same flag-derived config)
+    from demfi_tpu.checkpoint.manager import ExperimentManager
+    from demfi_tpu.main import parse_args
+    from demfi_tpu.models import make_model
+
+    cfg = parse_args(["--phase", "test", "--epochs", "1",
+                      "--test_data_path", str(data),
+                      "--checkpoint_dir", str(data / "ckpt"),
+                      "--nf", "16", "--num_ResB_FACFB", "1",
+                      "--num_ResB_Dec", "1", "--N_tst", "1"])
+    model = make_model(cfg)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 4, 48, 64, 3)), jnp.zeros((1, 1)),
+                        num_update=1)
+    ExperimentManager(cfg).save_latest(
+        params, None, {"last_epoch": 0, "best_PSNR": 0.0}, False)
+
+    worker = tmp_path / "mh_eval_worker.py"
+    worker.write_text(_EVAL_WORKER)
+    port = str(_free_port())
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), str(p), "2", port, REPO, str(data)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env) for p in range(2)]
+    outs = [p.communicate(timeout=2400)[0] for p in procs]
+    for out, p in zip(outs, procs):
+        assert p.returncode == 0, f"eval worker failed:\n{out[-4000:]}"
+        assert "MHEVAL_DONE" in out
+
+    # each process reports the shard and the SAME global sample count
+    counts = []
+    for p, out in enumerate(outs):
+        m = re.search(rf"\[eval shard {p}/2\] aggregated over (\d+)", out)
+        assert m, f"no aggregation line in worker {p}:\n{out[-2000:]}"
+        counts.append(int(m.group(1)))
+    # 4 scenes x 2 windows x (multiple-1)=1 interp sample = 8 global
+    assert counts == [8, 8], counts
+
+    # union of written scene PNGs covers every scene exactly
+    import glob as g
+    root = data / "imgs" / cfg.model_dir
+    dirs = g.glob(str(root / "epoch_00000*" / "scene*"))
+    scenes = {os.path.basename(d) for d in dirs}
+    assert scenes == {f"scene{s}" for s in range(4)}, scenes
+    for d in dirs:
+        assert g.glob(os.path.join(d, "*.png")), f"no pngs in {d}"
+
+
 @pytest.mark.slow
 def test_two_process_run_train_end_to_end(tmp_path):
     """The FULL run_train path under 2 processes: sharded prefetch,
