@@ -82,6 +82,43 @@ def test_evaluate_custom(small_setup, tmp_path):
     assert "00001.png" in out and "00002.png" in out
 
 
+def test_evaluate_custom_scene_sharded(small_setup, tmp_path):
+    """evaluate_custom with shard=(p, 2): two processes own disjoint
+    scenes, their union reproduces the unsharded output files exactly."""
+    cfg, engine, root = small_setup
+    rng = np.random.RandomState(2)
+    for name in ("clipA", "clipB"):
+        scene = tmp_path / name
+        scene.mkdir()
+        for i in range(5):
+            cv2.imwrite(str(scene / f"{str(i).zfill(5)}.png"),
+                        rng.randint(0, 255, (48, 64, 3), np.uint8))
+    import dataclasses
+    import shutil
+
+    def run(sub, shards):
+        d = tmp_path / sub
+        d.mkdir()
+        for name in ("clipA", "clipB"):
+            shutil.copytree(tmp_path / name, d / name)
+        cfg2 = dataclasses.replace(cfg, custom_path=str(d))
+        for s in shards:
+            evaluate_custom(cfg2, engine, multiple=4, shard=s)
+        return d
+
+    full = run("full", [(0, 1)])
+    part = run("part", [(0, 2), (1, 2)])
+    for name in ("clipA", "clipB"):
+        od = f"{name}_sharply_interpolated_x4"
+        f_files = sorted(os.listdir(full / od))
+        p_files = sorted(os.listdir(part / od))
+        assert f_files == p_files and f_files, (name, f_files, p_files)
+        for f in f_files:
+            a = cv2.imread(str(full / od / f))
+            b = cv2.imread(str(part / od / f))
+            np.testing.assert_array_equal(a, b, err_msg=f"{name}/{f}")
+
+
 def test_cli_parse_defaults():
     cfg = parse_args(["--phase", "test", "--multiple_MFI", "8",
                       "--test_patch", "2", "2", "--exp_num", "3"])
