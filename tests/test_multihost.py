@@ -225,6 +225,8 @@ def test_two_process_phase_test_scene_sharded(tmp_path):
     cfg = parse_args(["--phase", "test", "--epochs", "1",
                       "--test_data_path", str(data),
                       "--checkpoint_dir", str(data / "ckpt"),
+                      "--text_dir", str(data / "text"),
+                      "--log_dir", str(data / "log"),
                       "--nf", "16", "--num_ResB_FACFB", "1",
                       "--num_ResB_Dec", "1", "--N_tst", "1"])
     model = make_model(cfg)
