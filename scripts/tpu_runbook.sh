@@ -85,6 +85,31 @@ if [ "$WINNER" != "32" ]; then
       | tee "$OUT/bench_720p_bf16_D$WINNER.json" || true
 fi
 
+echo "--- 720p t_chunk refinement (only if chunk=3 beat t_map: probe 2 and 4)"
+TCHUNK_WIN=$(python - "$OUT" <<'EOF'
+import json, sys
+def ms(path):
+    try:
+        r = json.load(open(path))
+        for k, v in r.items():
+            if k.startswith("window_x8_") and isinstance(v, (int, float)):
+                return v
+    except Exception:
+        pass
+    return None
+tm = ms(f"{sys.argv[1]}/measure_720p_tmap.json")
+tc = ms(f"{sys.argv[1]}/measure_720p_tchunk3.json")
+print(1 if (tm and tc and tc < tm) else 0)
+EOF
+)
+if [ "$TCHUNK_WIN" = "1" ]; then
+  for TC in 2 4; do
+    timeout 3000 python scripts/measure_tpu.py --res 720x1280 \
+        --sections model --dtypes bfloat16 --t_chunk "$TC" \
+        --out "$OUT/measure_720p_tchunk$TC.json" || true
+  done
+fi
+
 echo "--- fresh stage breakdown (re-rank Stage-II glue post one-hot fwarp)"
 timeout 3600 python scripts/breakdown_tpu.py --res 352x640 \
     --stages warps,synth --out "$OUT/breakdown.json" || true
