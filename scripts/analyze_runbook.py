@@ -95,6 +95,16 @@ def main(out="tpu_reports"):
             if k in m:
                 print(f"  {k:32s} {m[k]}")
 
+    smokes = [n for n in ("e2e_smoke_bf16.json", "e2e_smoke_f32.json")
+              if os.path.exists(os.path.join(out, n))]
+    if smokes:
+        print("\n-- e2e CLI smoke (--phase test_custom on-chip)")
+        for name in smokes:
+            d = _load(os.path.join(out, name))
+            if d:
+                print(f"  {name}: ok={d.get('ok')} n_pngs={d.get('n_pngs')} "
+                      f"backend={d.get('backend')} wall={d.get('wall_s')}s")
+
     b = _load(os.path.join(out, "breakdown.json"))
     if b:
         print("\n-- stage breakdown (sorted)")

@@ -10,6 +10,18 @@ exec > >(tee -a "$LOG") 2>&1
 
 echo "=== TPU runbook $(date -u +%FT%TZ) ==="
 
+# 1-core box: a concurrently-running pytest suite times compiles out in
+# both directions. If a tracked foreground pytest is alive, wait for it
+# (bounded) before grabbing the core.
+PYPID=$(cat /tmp/pytest.pid 2>/dev/null || true)
+if [ -n "${PYPID:-}" ] && kill -0 "$PYPID" 2>/dev/null; then
+  echo "--- waiting for pytest (pid $PYPID) to release the core"
+  for _ in $(seq 1 360); do
+    kill -0 "$PYPID" 2>/dev/null || break
+    sleep 10
+  done
+fi
+
 echo "--- health check"
 timeout 90 python -c "
 import time, numpy as np, jax, jax.numpy as jnp
@@ -113,5 +125,11 @@ fi
 echo "--- fresh stage breakdown (re-rank Stage-II glue post one-hot fwarp)"
 timeout 3600 python scripts/breakdown_tpu.py --res 352x640 \
     --stages warps,synth --out "$OUT/breakdown.json" || true
+
+echo "--- e2e CLI smoke on-chip (full --phase test_custom surface, both dtypes)"
+timeout 1800 python scripts/e2e_tpu_smoke.py --res 192x320 \
+    --dtype bfloat16 --out "$OUT/e2e_smoke_bf16.json" || true
+timeout 1800 python scripts/e2e_tpu_smoke.py --res 192x320 \
+    --dtype float32 --out "$OUT/e2e_smoke_f32.json" || true
 
 echo "=== runbook done $(date -u +%FT%TZ) ==="
