@@ -65,6 +65,12 @@ def main():
                          "vs wb=2 7.37 — the one-hot fwarp's stacked "
                          "operand penalizes B=14, so 1 is the default "
                          "(matches config.eval_window_batch)")
+    ap.add_argument("--t_chunk", type=int, default=0,
+                    help="instants per synthesize batch (0 = auto from "
+                         "the engine's HBM pixel-instant budget; a full "
+                         "7-instant batch at 720p needs ~22 GB and would "
+                         "OOM the 16 GB v5e, so the auto policy chunks "
+                         "exactly like InferenceEngine does)")
     ap.add_argument("--readback", action="store_true",
                     help="include full host readback (tunnel-bound in dev)")
     ap.add_argument("--probe_timeout", type=float, default=300.0)
@@ -149,18 +155,32 @@ def main():
                 engine.forward_windows(np.asarray(frames), ts_nm)
             return (time.time() - t0) / args.iters, "e2e+readback"
 
+        # instants per synthesize batch: the engine's HBM budget policy
+        # (engine._effective_t_chunk) — without it the 7-instant batch
+        # at 720p is ~22 GB of activations and OOMs the 16 GB chip
+        from demfi_tpu.infer.engine import _pixel_instant_budget
+        n_t = int(ts.shape[0])
+        cap = max(1, _pixel_instant_budget() // (h * w * wb))
+        chunk = args.t_chunk or (n_t if cap >= n_t else cap)
+
         def window(params, frames, ts):
-            # wb independent windows -> ONE [wb*7] synthesize batch
-            # (the eval driver's window-batch layout, driver.py)
+            # wb independent windows -> ONE [wb*chunk] synthesize batch
+            # per t-chunk (the eval driver's window-batch layout,
+            # driver.py; chunk == 7 is the single fully-t-batched call)
             ctx = model.apply(params, frames, method=model.extract)
-            ctx = jax.tree_util.tree_map(
-                lambda x: jnp.repeat(x, ts.shape[0], axis=0), ctx)
-            ts = jnp.tile(ts, frames.shape[0])
-            out = model.apply(params, ctx, ts[:, None], args.n_tst,
-                              method=model.synthesize)
-            # on-device checksum over every output frame
-            return (jnp.sum(out.st_final[-1]) + jnp.sum(out.s0_final[-1])
+            acc = jnp.float32(0)
+            for i in range(0, n_t, chunk):
+                tc = ts[i:i + chunk]
+                cc = jax.tree_util.tree_map(
+                    lambda x: jnp.repeat(x, tc.shape[0], axis=0), ctx)
+                out = model.apply(params, cc,
+                                  jnp.tile(tc, frames.shape[0])[:, None],
+                                  args.n_tst, method=model.synthesize)
+                # on-device checksum over every output frame
+                acc = acc + jnp.float32(
+                    jnp.sum(out.st_final[-1]) + jnp.sum(out.s0_final[-1])
                     + jnp.sum(out.s1_final[-1]) + jnp.sum(out.st_prime))
+            return acc
 
         # The ~30 ms tunnel dispatch floor is ~20% of a single window at
         # wb=1, so amortize it: run `inner` windows inside ONE jitted
@@ -188,8 +208,9 @@ def main():
         for _ in range(args.iters):
             float(fn(params, frames, ts))
         dt = max((time.time() - t0) / args.iters - floor, 1e-6) / inner
+        tc = f", t_chunk={chunk}" if chunk < n_t else ""
         return dt, (f"device ({inner}-window timed region, floor "
-                    f"{floor*1000:.0f} ms amortized)")
+                    f"{floor*1000:.0f} ms amortized{tc})")
 
     from demfi_tpu.ops.warp import (_on_tpu, _use_pallas_gather,
                                     _use_pallas_scatter)
