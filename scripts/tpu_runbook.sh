@@ -97,7 +97,9 @@ if [ "$WINNER" != "32" ]; then
       | tee "$OUT/bench_720p_bf16_D$WINNER.json" || true
 fi
 
-echo "--- 720p t_chunk refinement (only if chunk=3 beat t_map: probe 2 and 4)"
+echo "--- 720p t_chunk refinement (chunk=3 won: probe 2,4; t_map won: probe 1,2 —"
+echo "    the engine's auto policy picks chunk=3 at 720p, so a t_map win means"
+echo "    the default needs retuning toward smaller instant batches)"
 TCHUNK_WIN=$(python - "$OUT" <<'EOF'
 import json, sys
 def ms(path):
@@ -114,13 +116,12 @@ tc = ms(f"{sys.argv[1]}/measure_720p_tchunk3.json")
 print(1 if (tm and tc and tc < tm) else 0)
 EOF
 )
-if [ "$TCHUNK_WIN" = "1" ]; then
-  for TC in 2 4; do
-    timeout 3000 python scripts/measure_tpu.py --res 720x1280 \
-        --sections model --dtypes bfloat16 --t_chunk "$TC" \
-        --out "$OUT/measure_720p_tchunk$TC.json" || true
-  done
-fi
+if [ "$TCHUNK_WIN" = "1" ]; then PROBES="2 4"; else PROBES="1 2"; fi
+for TC in $PROBES; do
+  timeout 3000 python scripts/measure_tpu.py --res 720x1280 \
+      --sections model --dtypes bfloat16 --t_chunk "$TC" \
+      --out "$OUT/measure_720p_tchunk$TC.json" || true
+done
 
 echo "--- fresh stage breakdown (re-rank Stage-II glue post one-hot fwarp)"
 timeout 3600 python scripts/breakdown_tpu.py --res 352x640 \
