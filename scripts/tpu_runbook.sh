@@ -133,4 +133,10 @@ timeout 1800 python scripts/e2e_tpu_smoke.py --res 192x320 \
 timeout 1800 python scripts/e2e_tpu_smoke.py --res 192x320 \
     --dtype float32 --out "$OUT/e2e_smoke_f32.json" || true
 
+echo "--- summary"
+python scripts/analyze_runbook.py "$OUT" || true
+
+echo "--- committing artifacts (so results survive even with no session active)"
+git add -A "$OUT" && git commit -m "tpu runbook results ($(date -u +%FT%TZ)): on-chip measure/bench/sweep artifacts" || echo "commit skipped"
+
 echo "=== runbook done $(date -u +%FT%TZ) ==="
