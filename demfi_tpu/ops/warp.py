@@ -88,6 +88,15 @@ _FWARP_SHIFT_STENCIL_D = int(os.environ.get("DEMFI_FWARP_SHIFT", "0"))
 # magnitude). 0 disables. Row chunk bounds the [B,ch,W,W] one-hot
 # operand's HBM footprint.
 _FWARP_ONEHOT_D = int(os.environ.get("DEMFI_FWARP_ONEHOT_D", "32"))
+# Small first-tier window for the tiered dispatch: the D-sweep
+# (tpu_reports/fwarp_onehot_{,720p_}D8.json) measured guarded D=8 at
+# 0.8 ms (B=7 352x640) / 6.5 ms (B=1 720p) vs D=32's 67 / 25 ms — K =
+# (2D+1)(C+1) scales the GEMM operand and the footprint-capped row
+# chunk linearly. The runtime guard keeps small-D exact: motion past
+# the small window falls through to the big window, then to the quad
+# scatter. 0 disables tiering (single-window _FWARP_ONEHOT_D guard).
+_FWARP_ONEHOT_D_SMALL = int(os.environ.get("DEMFI_FWARP_ONEHOT_D_SMALL",
+                                           "8"))
 _FWARP_ONEHOT_CHUNK = int(os.environ.get("DEMFI_FWARP_ONEHOT_CHUNK", "32"))
 # HBM footprint bound for the [B,ch,W,W] one-hot GEMM operand; the row
 # chunk is capped so the operand never exceeds this many bytes
@@ -438,6 +447,13 @@ def fwarp(img: jnp.ndarray, flo: jnp.ndarray,
             # motion, vertical window guarded with scatter fallback.
             # bf16 compute only — the f32-HIGHEST one-hot loses to the
             # quad scatter on-chip (see _fwarp_xla_onehot docstring)
+            ds = _FWARP_ONEHOT_D_SMALL
+            if 0 < ds < dh and h >= 2 * ds:
+                # tiered: small window first (4x cheaper GEMM), big
+                # window next, exact quad scatter last — all runtime
+                # lax.cond on the actual vertical-motion extremum
+                return _fwarp_onehot_tiered(img, flo, ds, dh,
+                                            _FWARP_ONEHOT_CHUNK, True)
             return _fwarp_onehot_fast(img, flo, dh, _FWARP_ONEHOT_CHUNK,
                                       True)
         ds = _FWARP_SHIFT_STENCIL_D
@@ -717,12 +733,7 @@ def _fwarp_onehot_fast(img, flo, d, row_chunk, force_bf16=False):
     horizontal motion; vertical splats with floor(dy) outside [-d, d-1]
     that land inside the image trigger the fused-scatter fallback.
     Backward recomputes through the exact XLA op (custom_vjp pattern)."""
-    h = img.shape[1]
-    gy = jnp.arange(h, dtype=jnp.float32)[None, :, None]
-    ty = gy + flo[..., 1].astype(jnp.float32)
-    in_img_y = (ty > -1.0) & (ty < h)
-    r1 = jnp.floor(flo[..., 1].astype(jnp.float32))
-    ok = ~jnp.any(in_img_y & ((r1 < float(-d)) | (r1 > float(d - 1))))
+    ok = _onehot_window_ok(img, flo, d)
     return _guarded(ok, lambda ii, ff: _fwarp_xla_onehot(ii, ff, d,
                                                          row_chunk,
                                                          force_bf16),
@@ -740,6 +751,57 @@ def _fwarp_onehot_fast_bwd(d, row_chunk, force_bf16, res, g):
 
 
 _fwarp_onehot_fast.defvjp(_fwarp_onehot_fast_fwd, _fwarp_onehot_fast_bwd)
+
+
+def _onehot_window_ok(img, flo, d):
+    """True iff every splat landing inside the image has floor(dy) in
+    [-d, d-1] — the exactness condition of :func:`_fwarp_xla_onehot`."""
+    h = img.shape[1]
+    gy = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+    ty = gy + flo[..., 1].astype(jnp.float32)
+    in_img_y = (ty > -1.0) & (ty < h)
+    r1 = jnp.floor(flo[..., 1].astype(jnp.float32))
+    return ~jnp.any(in_img_y & ((r1 < float(-d)) | (r1 > float(d - 1))))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _fwarp_onehot_tiered(img, flo, d_small, d_big, row_chunk,
+                         force_bf16=False):
+    """Two-tier motion-guarded one-hot fwarp.
+
+    Runtime dispatch on the vertical-motion extremum: the d_small
+    one-hot GEMM when all in-image splats fit its window (the common
+    case — CFR flows are a t-scaled optical-flow field), the d_big
+    GEMM otherwise, and the exact quad scatter past d_big. All three
+    branches compute the same splat (reference DeMFInet.py:625-729);
+    tiering only changes which formulation runs. Backward recomputes
+    through the exact XLA op like every other guarded fast path."""
+    big = lambda ii, ff: _guarded(
+        _onehot_window_ok(ii, ff, d_big),
+        lambda i2, f2: _fwarp_xla_onehot(i2, f2, d_big, row_chunk,
+                                         force_bf16),
+        _fwarp_xla_quad, ii, ff)
+    return _guarded(
+        _onehot_window_ok(img, flo, d_small),
+        lambda ii, ff: _fwarp_xla_onehot(ii, ff, d_small, row_chunk,
+                                         force_bf16),
+        big, img, flo)
+
+
+def _fwarp_onehot_tiered_fwd(img, flo, d_small, d_big, row_chunk,
+                             force_bf16=False):
+    return (_fwarp_onehot_tiered(img, flo, d_small, d_big, row_chunk,
+                                 force_bf16), (img, flo))
+
+
+def _fwarp_onehot_tiered_bwd(d_small, d_big, row_chunk, force_bf16,
+                             res, g):
+    _, vjp = jax.vjp(_fwarp_xla, *res)
+    return vjp(g)
+
+
+_fwarp_onehot_tiered.defvjp(_fwarp_onehot_tiered_fwd,
+                            _fwarp_onehot_tiered_bwd)
 
 
 def cfr_flow_t_align(flow_01: jnp.ndarray, flow_10: jnp.ndarray,

@@ -343,6 +343,59 @@ def test_fwarp_onehot_matches_scatter():
                                np.asarray(obn, np.float32), atol=0.15)
 
 
+def test_fwarp_onehot_tiered_exact_all_tiers():
+    """Tiered one-hot fwarp (_fwarp_onehot_tiered): all three runtime
+    tiers — small window, big window, quad-scatter fallback — produce
+    the exact-scatter numbers; backward matches the exact op."""
+    from demfi_tpu.ops.warp import _fwarp_xla, _fwarp_onehot_tiered
+
+    x = jnp.asarray(RNG.randn(2, 24, 40, 3).astype(np.float32))
+    dx = jnp.asarray(RNG.uniform(-60, 60, (2, 24, 40)).astype(np.float32))
+    dy = jnp.asarray(RNG.uniform(-3.9, 3.9, (2, 24, 40)).astype(np.float32))
+    cases = {
+        "small": jnp.stack([dx, dy], axis=-1),        # |dy| < 4  -> D=4
+        "big": jnp.stack([dx, dy * 1.8], axis=-1),    # |dy| < 8  -> D=8
+        "fallback": jnp.stack([dx, dy * 30.0], axis=-1),  # past both
+    }
+    for name, flo in cases.items():
+        a, an = _fwarp_xla(x, flo)
+        o, on = _fwarp_onehot_tiered(x, flo, 4, 8, 32)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(o), atol=2e-5,
+                                   err_msg=name)
+        np.testing.assert_allclose(np.asarray(an), np.asarray(on),
+                                   atol=2e-5, err_msg=name)
+
+    flo = cases["small"]
+    ge = jax.grad(lambda f: jnp.sum(_fwarp_xla(x, f)[0] ** 2))(flo)
+    gt = jax.grad(
+        lambda f: jnp.sum(_fwarp_onehot_tiered(x, f, 4, 8, 32)[0] ** 2))(flo)
+    np.testing.assert_allclose(np.asarray(ge), np.asarray(gt),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_fwarp_dispatch_tiered_on_tpu_path(monkeypatch):
+    """fwarp() routes bf16 TPU-path calls through the tiered dispatch
+    when DEMFI_FWARP_ONEHOT_D_SMALL is set (the default, 8), and the
+    result still matches the exact scatter."""
+    import demfi_tpu.ops.warp as W
+
+    x = jnp.asarray(RNG.randn(1, 32, 128, 3).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    flo = jnp.stack(
+        [jnp.asarray(RNG.uniform(-9, 9, (1, 32, 128)).astype(np.float32)),
+         jnp.asarray(RNG.uniform(-5, 5, (1, 32, 128)).astype(np.float32))],
+        axis=-1).astype(jnp.bfloat16)
+    monkeypatch.setattr(W, "_on_tpu", lambda: True)
+    monkeypatch.setattr(W, "_FWARP_ONEHOT_D", 16)
+    monkeypatch.setattr(W, "_FWARP_ONEHOT_D_SMALL", 8)
+    o, on = W.fwarp(x, flo)
+    a, an = W._fwarp_xla(x, flo)
+    np.testing.assert_allclose(np.asarray(o, np.float32),
+                               np.asarray(a, np.float32), atol=0.15)
+    np.testing.assert_allclose(np.asarray(on, np.float32),
+                               np.asarray(an, np.float32), atol=0.15)
+
+
 def test_fwarp_onehot_force_bf16_close():
     """force_bf16 (bf16-model hint with f32 flow inputs): GEMM operands
     in bf16, f32 accumulation — close to the exact f32 op at bf16
