@@ -83,17 +83,52 @@ def main(out="tpu_reports"):
         if best[0]:
             print(f"  WINNER: {best[0]} ({best[1]:.1f} ms)")
 
+    # Keys the full measurement suite (runbook sections basic,ops,model,
+    # golden,f32check,train) is REQUIRED to produce. An incomplete run
+    # (relay outage mid-suite) must say MISSING loudly — round-3 advisor
+    # finding: a silent skip made a truncated measure.json look clean.
+    required = ("fps_bf16", "window_x8_bf16_ms", "golden_bf16_ok",
+                "golden_f32_ok", "f32_352x640_finite",
+                "train_loss_finite_bf16", "train_loss_finite_f32")
+    optional = ("fps_f32", "window_x8_f32_ms",
+                "golden_bf16_worst_absdiff", "golden_f32_worst_absdiff",
+                "train_step_b4_256_bf16_ms", "train_step_b2_256_f32_ms")
+    incomplete = False
     m = _load(os.path.join(out, "measure.json"))
     if m:
         print("\n-- measure.json verdicts (flat keys)")
-        for k in ("fps_bf16", "fps_f32", "window_x8_bf16_ms",
-                  "window_x8_f32_ms", "golden_bf16_ok", "golden_f32_ok",
-                  "golden_bf16_worst_absdiff", "golden_f32_worst_absdiff",
-                  "f32_352x640_finite", "train_loss_finite_bf16",
-                  "train_loss_finite_f32", "train_step_b4_256_bf16_ms",
-                  "train_step_b2_256_f32_ms"):
+        for k in required:
             if k in m:
                 print(f"  {k:32s} {m[k]}")
+            else:
+                print(f"  {k:32s} MISSING (suite did not complete)")
+                incomplete = True
+        for k in optional:
+            if k in m:
+                print(f"  {k:32s} {m[k]}")
+    else:
+        print("\n-- measure.json verdicts: MISSING ENTIRELY")
+        incomplete = True
+    if incomplete:
+        print("  WARNING: measurement suite incomplete — re-run "
+              "`python scripts/measure_tpu.py --res 352x640 --sections "
+              "basic,ops,model,golden,f32check,train` before trusting "
+              "this snapshot")
+
+    f32r = _load(os.path.join(out, "f32_repro.json"))
+    if f32r:
+        print("\n-- f32 miscompile repro (scripts/f32_repro.py)")
+        for k in ("c1_gather_blend_fused", "c2_gather_blend_guarded",
+                  "c3_model_full"):
+            v = f32r.get(k)
+            if isinstance(v, dict):
+                s = ("CLEAN" if v.get("clean")
+                     else v.get("error", f"DIRTY {v.get('nonfinite')}"
+                                f"/{v.get('total')}"))
+                print(f"  {k:28s} {s}")
+        if f32r.get("all_clean"):
+            print("  toolchain FIXED: retire the engine f32 reroute "
+                  "(_F32_TPU_SAFE_PIXELS)")
 
     smokes = [n for n in ("e2e_smoke_bf16.json", "e2e_smoke_f32.json")
               if os.path.exists(os.path.join(out, n))]
@@ -113,7 +148,9 @@ def main(out="tpu_reports"):
                     reverse=True)
         for v, k in ms:
             print(f"  {k:40s} {v:9.2f}")
-    return 0
+    # exit 2 = artifacts exist but the required measurement keys are
+    # absent; the runbook uses this to label its auto-commit honestly
+    return 2 if incomplete else 0
 
 
 if __name__ == "__main__":

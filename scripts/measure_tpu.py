@@ -75,6 +75,7 @@ def main():
         if args.out:
             with open(args.out, "w") as f:
                 json.dump(report, f, indent=1)
+                f.write("\n")
 
     def scalar_time(fn, *a, n=args.iters, floor=0.0, inner=1):
         """Time fn via an on-device scalar reduction.
@@ -176,7 +177,10 @@ def main():
         put("pallas_abs64_ms", scalar_time(
             bilinear_sample_abs_tpu, x64, coords_abs, floor=floor, inner=4) * 1000)
       except Exception as e:  # keep the rest of the report on failure
-        put("pallas_error", f"{type(e).__name__}: {str(e)[:300]}")
+        import re as _re
+        msg = _re.sub(r"\x1b\[[0-9;]*[A-Za-z]", "",
+                      f"{type(e).__name__}: {str(e)[:400]}")
+        put("pallas_error", msg[:300])
         os.environ["DEMFI_NO_PALLAS"] = "1"
         jax.clear_caches()
 
