@@ -35,7 +35,7 @@ import jax.numpy as jnp
 
 from demfi_tpu.config import DeMFIConfig
 from demfi_tpu.ops import (
-    bwarp,
+    bwarp_pair,
     cfr_flow_t_align,
     depth_to_space,
     fgac_correlate,
@@ -567,8 +567,8 @@ class DeMFINet(nn.Module):
         occ_0 = nn.sigmoid(ctx.occ_0_logit.astype(jnp.float32))
         # features warp in their native dtype (bf16 rows gather exactly;
         # interpolation weights/accumulation are f32 inside bwarp)
-        ft = _t_blend(bwarp(ctx.f0, flow_t0),
-                      bwarp(ctx.f1, flow_t1), occ_0, t)
+        ft = _t_blend(*bwarp_pair(ctx.f0, ctx.f1, flow_t0, flow_t1),
+                      occ_0, t)
 
         # refinement (DeMFInet.py:77-87)
         agg1 = jnp.concatenate(
@@ -587,9 +587,8 @@ class DeMFINet(nn.Module):
         r_f0 = jnp.tanh(agg1[..., 5:5 + nf])
         r_f1 = jnp.tanh(agg1[..., 5 + nf:5 + 2 * nf])
 
-        r_ft = _t_blend(bwarp(r_f0, rflow_t0),
-                        bwarp(r_f1, rflow_t1), occ_0, t
-                        ).astype(self.dtype)
+        r_ft = _t_blend(*bwarp_pair(r_f0, r_f1, rflow_t0, rflow_t1),
+                        occ_0, t).astype(self.dtype)
 
         # D1: joint 3-frame decode (frames folded into batch)
         b, h, w, _ = r_f0.shape
@@ -682,8 +681,7 @@ class DeMFINet(nn.Module):
         occ_0_f = nn.sigmoid(delta_occ.astype(jnp.float32))
 
         st_new = _t_blend(
-            bwarp(s0p, ft0_f),
-            bwarp(s1p, ft1_f),
+            *bwarp_pair(s0p, s1p, ft0_f, ft1_f),
             occ_0_f, t).astype(self.dtype)
 
         agg3 = jnp.concatenate(

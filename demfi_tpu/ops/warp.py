@@ -367,6 +367,29 @@ def bwarp(x: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     return _bwarp_xla(x, flow)
 
 
+_BWARP_PAIR = int(os.environ.get("DEMFI_BWARP_PAIR", "1") or "1")
+
+
+def bwarp_pair(a: jnp.ndarray, b: jnp.ndarray,
+               flow_a: jnp.ndarray, flow_b: jnp.ndarray
+               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Both directions' backward warps as ONE batch-folded gather.
+
+    Every Stage-II blend warps a (source, reference) pair with its two
+    flows back-to-back (_t_blend call sites, models/demfi.py); gathers
+    are per-batch-element independent, so folding the pair on the batch
+    axis is EXACT and runs one fused gather + one weight computation
+    instead of two (fewer kernel launches; XLA fuses the shared
+    index/weight math once). DEMFI_BWARP_PAIR=0 restores two calls for
+    on-chip A/B."""
+    if _BWARP_PAIR and a.shape == b.shape and flow_a.shape == flow_b.shape:
+        out = bwarp(jnp.concatenate([a, b], axis=0),
+                    jnp.concatenate([flow_a, flow_b], axis=0))
+        n = a.shape[0]
+        return out[:n], out[n:]
+    return bwarp(a, flow_a), bwarp(b, flow_b)
+
+
 def _bwarp_xla(x: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     """Exact XLA backward warp (reference semantics, any motion)."""
     b, h, w, c = x.shape

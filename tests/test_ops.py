@@ -413,3 +413,23 @@ def test_fwarp_onehot_force_bf16_close():
     np.testing.assert_allclose(np.asarray(a), np.asarray(o),
                                atol=0.35, rtol=0.02)
     np.testing.assert_allclose(np.asarray(an), np.asarray(on), atol=0.05)
+
+
+def test_bwarp_pair_batchfold_exact():
+    """bwarp_pair (one batch-folded gather) == two separate bwarps,
+    values AND gradients; the DEMFI_BWARP_PAIR=0 escape hatch falls back
+    to two calls with identical results."""
+    import demfi_tpu.ops.warp as W
+
+    a = jnp.asarray(RNG.randn(2, 16, 20, 3).astype(np.float32))
+    b = jnp.asarray(RNG.randn(2, 16, 20, 3).astype(np.float32))
+    fa = jnp.asarray(RNG.uniform(-4, 4, (2, 16, 20, 2)).astype(np.float32))
+    fb = jnp.asarray(RNG.uniform(-4, 4, (2, 16, 20, 2)).astype(np.float32))
+    wa, wb = W.bwarp_pair(a, b, fa, fb)
+    np.testing.assert_array_equal(np.asarray(wa), np.asarray(W.bwarp(a, fa)))
+    np.testing.assert_array_equal(np.asarray(wb), np.asarray(W.bwarp(b, fb)))
+
+    g_pair = jax.grad(lambda f: jnp.sum(W.bwarp_pair(a, b, f, fb)[0] ** 2))(fa)
+    g_sep = jax.grad(lambda f: jnp.sum(W.bwarp(a, f) ** 2))(fa)
+    np.testing.assert_allclose(np.asarray(g_pair), np.asarray(g_sep),
+                               rtol=1e-6, atol=1e-6)
