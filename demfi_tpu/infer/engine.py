@@ -46,7 +46,9 @@ _budget_cache: List[int] = []
 # toolchain updates, f32 TPU eval above the safe pixel count is
 # auto-routed through the (bit-equivalent-semantics) tiled path.
 # DEMFI_F32_TPU_UNSAFE_OK=1 disables the rerouting (for toolchain
-# re-testing via measure_tpu).
+# re-testing). Retirement test: scripts/f32_repro.py (standalone
+# distilled constructs + the full-model check; run on every toolchain
+# bump — when it prints all-clean, delete this guard).
 _F32_TPU_SAFE_PIXELS = 192 * 320
 _f32_route_warned: List[bool] = []
 
@@ -133,6 +135,14 @@ class WindowResult:
     flow_10: np.ndarray = None
 
 
+def _field_channels(name: str) -> int:
+    """Channel count of each WindowResult field (zero-fill + canvases)."""
+    return {"flow_init": 4, "flow_final": 4, "occ0_init": 1,
+            "occ0_final": 1, "blend_w0": 1, "blend_w1": 1,
+            "diff_10": 1, "diff_01": 1, "flow_01": 2, "flow_10": 2,
+            }.get(name, 1 if name.startswith("fgac_") else 3)
+
+
 def _pad_reflect_to_multiple(frames: np.ndarray, m: int) -> Tuple[np.ndarray, int, int]:
     """Reflect-pad H, W (bottom/right) to multiples of m
     (utils.py:1352-1365). frames: [B,T,H,W,C]."""
@@ -174,27 +184,65 @@ class InferenceEngine:
     """Compiled whole-window inference for a fixed model + parameters."""
 
     def __init__(self, model: DeMFINet, variables, num_update: int,
-                 t_chunk: Optional[int] = None, mesh=None):
+                 t_chunk: Optional[int] = None, mesh=None,
+                 fetch: str = "full"):
         """mesh: optional jax.sharding.Mesh. The window batch is sharded
         over its 'data' axis (each device evaluates different windows /
         t-instants) and frame rows over its 'spatial' axis (XLA SPMD adds
         conv halo exchanges) — the TPU replacement for the reference's
-        serial tile loop (utils.py:1389-1450)."""
+        serial tile loop (utils.py:1389-1450).
+
+        fetch: which WindowResult tensors cross the device->host link.
+        "full" fetches every field; "images" only the six output frames
+        (primes + last-iteration finals) and zero-fills the diagnostic
+        fields host-side — the right mode for metric-only eval (no
+        --visualization_flag), where fetching every boosting iteration's
+        flow/occ stack dominated real eval wall-clock on the dev tunnel.
+        Either way the jitted program reduces to the exact fields fetched
+        (last boosting iteration only — never the full [N_iter,...]
+        stacks the model emits)."""
         self.model = model
         self.variables = variables
         self.num_update = num_update
         # cap on t-values per device batch; None = derive from the HBM
         # pixel-instant budget (720p x8 in one batch OOMs a v5e)
         self.t_chunk = t_chunk
+        self.fetch = fetch
 
         def forward(variables, frames, ts):
-            """frames [N,4,H,W,3]; ts [N,M] -> DeMFIOutputs, batch N*M."""
+            """frames [N,4,H,W,3]; ts [N,M] -> dict of WindowResult
+            tensors, batch N*M (device-side field selection)."""
             n, m = ts.shape
             ctx = model.apply(variables, frames, method=model.extract)
             ctx = jax.tree_util.tree_map(
                 lambda x: jnp.repeat(x, m, axis=0), ctx)
-            return model.apply(variables, ctx, ts.reshape(n * m, 1),
-                               num_update, method=model.synthesize)
+            out = model.apply(variables, ctx, ts.reshape(n * m, 1),
+                              num_update, method=model.synthesize)
+            # [N_iter, B, ...] stacks reduce to the served iteration ON
+            # DEVICE; shape[0] is static under trace
+            sel = dict(
+                s0_prime=out.s0_prime, s1_prime=out.s1_prime,
+                st_prime=out.st_prime,
+                s0_final=(out.s0_final[-1] if out.s0_final.shape[0]
+                          else out.s0_prime),
+                s1_final=(out.s1_final[-1] if out.s1_final.shape[0]
+                          else out.s1_prime),
+                st_final=(out.st_final[-1] if out.st_final.shape[0]
+                          else out.st_prime))
+            if fetch == "full":
+                sel.update(
+                    flow_init=out.flow_preds[0],
+                    flow_final=out.flow_preds[-1],
+                    occ0_init=out.occ0_preds[0],
+                    occ0_final=out.occ0_preds[-1],
+                    ovlp=out.ovlp_b0b1,
+                    blend_w0=out.blend_weights[0],
+                    blend_w1=out.blend_weights[1],
+                    diff_10=out.diff_maps[0],
+                    diff_01=out.diff_maps[1])
+                if out.viz_stacks:
+                    sel["viz_stacks"] = out.viz_stacks
+            return sel
 
         self.mesh = mesh
         self._jit_forward = jax.jit(forward)
@@ -239,48 +287,27 @@ class InferenceEngine:
         def per_t(x):        # [N*M, H, W, C] -> [N, M, H, W, C]
             return x.reshape((n, m) + x.shape[1:])
 
-        def last_iter(x, fallback):  # [K, N*M, ...] -> [N, M, ...]
-            return per_t(x[-1]) if x.shape[0] else per_t(fallback)
-
-        if out.viz_stacks:
-            (s10, s01, vflows) = out.viz_stacks
-            viz = dict(
+        if "viz_stacks" in out:
+            (s10, s01, vflows) = out.pop("viz_stacks")
+            out.update(
                 fgac_src_10=s10[0], fgac_ref_10=s10[1],
                 fgac_warp_10=s10[2], fgac_fcw_10=s10[3],
                 fgac_src_01=s01[0], fgac_ref_01=s01[1],
                 fgac_warp_01=s01[2], fgac_fcw_01=s01[3],
                 flow_01=vflows[0], flow_10=vflows[1])
-        else:
-            shp = out.st_prime.shape[:-1]
-            z1 = np.zeros(shp + (1,), np.float32)
-            z2 = np.zeros(shp + (2,), np.float32)
-            viz = dict(fgac_src_10=z1, fgac_ref_10=z1, fgac_warp_10=z1,
-                       fgac_fcw_10=z1, fgac_src_01=z1, fgac_ref_01=z1,
-                       fgac_warp_01=z1, fgac_fcw_01=z1,
-                       flow_01=z2, flow_10=z2)
 
-        results = []
-        for i in range(n):
-            results.append(WindowResult(
-                **{k: per_t(np.asarray(v, np.float32))[i]
-                   for k, v in viz.items()},
-                s0_prime=per_t(out.s0_prime)[i],
-                s1_prime=per_t(out.s1_prime)[i],
-                st_prime=per_t(out.st_prime)[i],
-                s0_final=last_iter(out.s0_final, out.s0_prime)[i],
-                s1_final=last_iter(out.s1_final, out.s1_prime)[i],
-                st_final=last_iter(out.st_final, out.st_prime)[i],
-                flow_init=per_t(out.flow_preds[0])[i],
-                flow_final=per_t(out.flow_preds[-1])[i],
-                occ0_init=per_t(out.occ0_preds[0])[i],
-                occ0_final=per_t(out.occ0_preds[-1])[i],
-                ovlp=per_t(out.ovlp_b0b1)[i],
-                blend_w0=per_t(out.blend_weights[0])[i],
-                blend_w1=per_t(out.blend_weights[1])[i],
-                diff_10=per_t(out.diff_maps[0])[i],
-                diff_01=per_t(out.diff_maps[1])[i],
-            ))
-        return results
+        # fields not fetched from device (fetch="images", or a model
+        # built without viz_internals) zero-fill host-side
+        shp = out["st_prime"].shape[:-1]
+        for f in dataclasses.fields(WindowResult):
+            if f.name not in out:
+                out[f.name] = np.zeros(shp + (_field_channels(f.name),),
+                                       np.float32)
+
+        return [WindowResult(
+            **{f.name: per_t(np.asarray(out[f.name], np.float32))[i]
+               for f in dataclasses.fields(WindowResult)})
+            for i in range(n)]
 
     def _effective_t_chunk(self, h, w, m, test_patch=(1, 1), n_windows=1):
         """User cap if given, else the HBM-derived one (per-tile pixels
@@ -406,14 +433,7 @@ class InferenceEngine:
         def canvas(c):
             return np.zeros((m, new_h, new_w, c), np.float32)
 
-        fields = {f.name: canvas({"flow_init": 4, "flow_final": 4,
-                                  "occ0_init": 1, "occ0_final": 1,
-                                  "blend_w0": 1, "blend_w1": 1,
-                                  "diff_10": 1, "diff_01": 1,
-                                  "flow_01": 2, "flow_10": 2,
-                                  }.get(f.name,
-                                        1 if f.name.startswith("fgac_")
-                                        else 3))
+        fields = {f.name: canvas(_field_channels(f.name))
                   for f in dataclasses.fields(WindowResult)}
 
         # group same-shape tiles (interior tiles share a shape) and run

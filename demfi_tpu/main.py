@@ -306,7 +306,9 @@ def run_train(cfg: DeMFIConfig) -> None:
                            else state.params)
             engine = InferenceEngine(model, eval_params, cfg.N_trn,
                                      t_chunk=cfg.t_chunk or None,
-                                     mesh=mesh if pcount == 1 else None)
+                                     mesh=mesh if pcount == 1 else None,
+                                     fetch=("full" if cfg.visualization_flag
+                                            else "images"))
             results = evaluate(cfg, engine, multiple=2, epoch=epoch,
                                center_patch=cfg.patch_size,
                                test_type="valid_5_per_scene",
@@ -342,7 +344,9 @@ def run_train(cfg: DeMFIConfig) -> None:
                    else state.params)
     engine = InferenceEngine(model, eval_params, cfg.N_tst,
                              t_chunk=cfg.t_chunk or None,
-                             mesh=mesh if pcount == 1 else None)
+                             mesh=mesh if pcount == 1 else None,
+                             fetch=("full" if cfg.visualization_flag
+                                    else "images"))
     evaluate(cfg, engine, multiple=cfg.multiple_MFI,
              epoch=cfg.epochs - 1,
              post_fix=f"_final_x{cfg.multiple_MFI}_full_resolution"
@@ -411,7 +415,9 @@ def run_test(cfg: DeMFIConfig) -> None:
     # as SPMD instead)
     mesh = make_mesh(cfg.mesh_data, cfg.mesh_spatial) if pcount == 1 else None
     engine = InferenceEngine(model, params, cfg.N_tst,
-                             t_chunk=cfg.t_chunk or None, mesh=mesh)
+                             t_chunk=cfg.t_chunk or None, mesh=mesh,
+                             fetch=("full" if cfg.visualization_flag
+                                    else "images"))
     print(f"Evaluating on {cfg.test_data_path} with multiple = "
           f"{cfg.multiple_MFI} with full resolution")
     evaluate(cfg, engine, multiple=cfg.multiple_MFI,
@@ -431,7 +437,9 @@ def run_test_custom(cfg: DeMFIConfig) -> None:
     model, params = _load_eval_params(cfg)
     mesh = make_mesh(cfg.mesh_data, cfg.mesh_spatial) if pcount == 1 else None
     engine = InferenceEngine(model, params, cfg.N_tst,
-                             t_chunk=cfg.t_chunk or None, mesh=mesh)
+                             t_chunk=cfg.t_chunk or None, mesh=mesh,
+                             fetch=("full" if cfg.visualization_flag
+                                    else "images"))
     print(f"Evaluating on {cfg.custom_path} with multiple = "
           f"{cfg.multiple_MFI}")
     evaluate_custom(cfg, engine, multiple=cfg.multiple_MFI,

@@ -326,3 +326,25 @@ def test_onehot_chunk_cap_beats_floor(monkeypatch):
     np.testing.assert_allclose(np.asarray(want), np.asarray(got), atol=2e-5)
     np.testing.assert_allclose(np.asarray(wantn), np.asarray(gotn),
                                atol=2e-5)
+
+
+def test_fetch_images_mode_matches_full(engine):
+    """fetch="images": the six output frames are identical to the full
+    fetch; the diagnostic fields come back zero-filled host-side (the
+    device program never materializes/transfers them)."""
+    model, params, eng = engine
+    rng = np.random.RandomState(3)
+    frames = rng.uniform(-1, 1, (1, 4, 32, 32, 3)).astype(np.float32)
+    ts = np.array([[0.25, 0.75]], np.float32)
+    eng_min = InferenceEngine(model, params, num_update=2, fetch="images")
+    full = eng.forward_windows(frames, ts)[0]
+    mini = eng_min.forward_windows(frames, ts)[0]
+    for name in ("s0_prime", "s1_prime", "st_prime",
+                 "s0_final", "s1_final", "st_final"):
+        np.testing.assert_allclose(getattr(mini, name),
+                                   getattr(full, name), atol=0,
+                                   err_msg=name)
+    for name in ("flow_init", "flow_final", "occ0_init", "occ0_final",
+                 "ovlp", "blend_w0", "blend_w1", "diff_10", "diff_01"):
+        assert np.all(getattr(mini, name) == 0), name
+        assert getattr(mini, name).shape == getattr(full, name).shape
