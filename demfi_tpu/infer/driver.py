@@ -307,26 +307,34 @@ def evaluate(cfg: DeMFIConfig, engine: InferenceEngine, multiple: int,
     finalize_scene()
 
     if pcount > 1:
-        # weighted cross-process aggregation of the headline metrics
+        # Weighted cross-process aggregation: the 5 headline meters AND
+        # the 2x2x8 per-slot (Fig.5 per-time-index PSNR_1..7 + deblur)
+        # meters, so a scene-sharded eval prints the same publishable
+        # per-index table a single-process run would
+        # (reference main.py:890-1032,1098-1105).
         from jax.experimental import multihost_utils
-        meters = (losses, intp_psnr["final"], intp_ssim["final"],
-                  deblur_psnr["final"], deblur_ssim["final"])
+        meters = [losses, intp_psnr["final"], intp_ssim["final"],
+                  deblur_psnr["final"], deblur_ssim["final"]]
+        meters += [total[k].psnr[i]
+                   for k in ("prime", "final") for i in range(1, 9)]
+        meters += [total[k].ssim[i]
+                   for k in ("prime", "final") for i in range(1, 9)]
+        n_m = len(meters)
         local = np.asarray([[m.sum for m in meters]
                             + [m.count for m in meters]], np.float64)
         allp = np.asarray(multihost_utils.process_allgather(local))
-        allp = allp.reshape(-1, 10)
-        sums, counts = allp[:, :5].sum(0), allp[:, 5:].sum(0)
+        allp = allp.reshape(-1, 2 * n_m)
+        sums, counts = allp[:, :n_m].sum(0), allp[:, n_m:].sum(0)
         for m, s_, c_ in zip(meters, sums, counts):
             m.sum, m.count = float(s_), int(c_)
             m.avg = float(s_ / max(c_, 1))
         print(f"[eval shard {pid}/{pcount}] aggregated over "
               f"{int(counts[1])} interp samples across processes")
 
-    # per-stage tables read the per-slot meters, which are process-local
-    # under scene sharding (only the headline meters above are
-    # cross-process aggregated) — label them and count local windows
-    loc = f" [proc {pid} local]" if pcount > 1 else ""
-    n_print = len(owned) if pcount > 1 else n_windows
+    # the per-stage tables now read cross-process-merged slot meters;
+    # only the per-window timing below stays process-local
+    loc = ""
+    n_print = n_windows
     print("-" * 40 + f" x{multiple} MFI results{loc} " + "-" * 40)
     for k in ("prime", "final"):
         stage = "Stage I" if k == "prime" else "Stage II"

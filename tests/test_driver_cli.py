@@ -228,7 +228,8 @@ def test_run_test_builds_mesh_from_flags(monkeypatch, small_setup):
     seen = {}
 
     class FakeEngine:
-        def __init__(self, model, params, n, t_chunk=None, mesh=None):
+        def __init__(self, model, params, n, t_chunk=None, mesh=None,
+                     **kw):
             seen["mesh"] = mesh
 
     monkeypatch.setattr("demfi_tpu.infer.InferenceEngine", FakeEngine)

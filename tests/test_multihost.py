@@ -268,6 +268,34 @@ def test_two_process_phase_test_scene_sharded(tmp_path):
     for d in dirs:
         assert g.glob(os.path.join(d, "*.png")), f"no pngs in {d}"
 
+    # the per-slot (Fig.5 per-time-index) tables are cross-process
+    # MERGED: both workers print identical tables, equal to a
+    # single-process run's (reference main.py:1098-1105)
+    def slot_avgs(out):
+        got = {}
+        for tag, pat in (("final", r"PSNR_(\d): [-0-9.e+]+ "
+                                   r"\(avg:([-0-9.e+]+)\)"),
+                         ("prime", r"PSNR_(\d)_prime: [-0-9.e+]+ "
+                                   r"\(avg:([-0-9.e+]+)\)")):
+            for i, v in re.findall(pat, out):
+                got[(tag, int(i))] = float(v)
+        return got
+
+    t0, t1 = slot_avgs(outs[0]), slot_avgs(outs[1])
+    assert t0 and t0 == t1, (t0, t1)
+
+    port2 = str(_free_port())
+    single = subprocess.run(
+        [sys.executable, str(worker), "0", "1", port2, REPO, str(data)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env, timeout=2400)
+    assert single.returncode == 0, single.stdout[-4000:]
+    ts = slot_avgs(single.stdout)
+    assert set(ts) == set(t0)
+    for k in ts:
+        assert abs(ts[k] - t0[k]) < 1e-6 * max(1.0, abs(ts[k])), (
+            k, ts[k], t0[k])
+
 
 @pytest.mark.slow
 def test_two_process_run_train_end_to_end(tmp_path):
