@@ -26,13 +26,18 @@ activations — far past a 16 GB v5e):
     chunks' intermediates coexist in one XLA buffer assignment, which is
     how the round-3 bench OOM'd at 720p.
 
-float32 above the XLA:TPU miscompile-safe pixel count is measured through
-the engine's reroute tile grid (the path users actually get,
-engine.py:_route_f32_tpu) — the untiled f32 program produces NaN on the
-current toolchain and its timing is meaningless. The device checksum is
-asserted finite before a number is reported.
+float32 runs the ordinary untiled path: the round-2/3 XLA:TPU f32
+miscompile is gone on the current toolchain (scripts/f32_repro.py all
+clean; the engine reroute is retired). If DEMFI_F32_TPU_SAFE_PIXELS
+re-arms the engine guard, the bench times the reroute tile grid instead
+— always the path users actually get. The device checksum is asserted
+finite before a number is reported either way.
 
-Usage: python bench.py [--quick] [--res 352x640] [--dtype float32|bfloat16]
+Default geometry is 720x1280 — the BASELINE headline metric's literal
+resolution ("interp frames/sec/chip at 720p x8"); --res 352x640 measures
+at Table 2's Rt geometry instead.
+
+Usage: python bench.py [--quick] [--res 720x1280] [--dtype float32|bfloat16]
                        [--n_tst N] [--iters K] [--readback] [--t_chunk N]
 """
 from __future__ import annotations
@@ -67,14 +72,37 @@ def probe_backend(timeout_s: float = 300.0):
     return False, f"probe rc={r.returncode}: {' '.join(tail)}"
 
 
+_LAST_GOOD_HINT: list = []  # [(res, dtype)] recorded by run_bench
+
+
 def _last_good_onchip():
-    try:
-        p = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "bench_r03_352x640.json")
-        with open(p) as f:
-            return json.load(f)
-    except Exception:
-        return None
+    """Most recent committed on-chip artifact, preferring the requested
+    geometry/dtype (tpu_reports/bench_<res>_<dtype>.json from the last
+    runbook), falling back to the round-3 352x640 snapshot."""
+    root = os.path.dirname(os.path.abspath(__file__))
+    names = []
+    if _LAST_GOOD_HINT:
+        res, dtype = _LAST_GOOD_HINT[0]
+        short = {"bfloat16": "bf16", "float32": "f32"}.get(dtype, dtype)
+        tag = "720p" if res == "720x1280" else res
+        names.append(os.path.join(root, "tpu_reports",
+                                  f"bench_{tag}_{short}.json"))
+    names.append(os.path.join(root, "tpu_reports", "bench_720p_bf16.json"))
+    names.append(os.path.join(root, "bench_r03_352x640.json"))
+    for p in names:
+        try:
+            with open(p) as f:
+                rec = json.load(f)
+            if rec.get("value"):  # skip committed failure records
+                return rec
+        except Exception:
+            continue
+    return None
+
+
+def _strip_ansi(s: str) -> str:
+    import re
+    return re.sub(r"\x1b\[[0-9;]*[A-Za-z]", "", s)
 
 
 def _failure_record(reason: str, kind: str, attach_last_good: bool = True):
@@ -83,7 +111,7 @@ def _failure_record(reason: str, kind: str, attach_last_good: bool = True):
         "value": 0.0,
         "unit": "frames/s",
         "vs_baseline": 0.0,
-        "error": reason[:2000],
+        "error": _strip_ansi(reason)[:2000],
         "error_kind": kind,
     }
     if attach_last_good:
@@ -94,12 +122,18 @@ def _failure_record(reason: str, kind: str, attach_last_good: bool = True):
 
 
 def _error_kind(e: BaseException) -> str:
+    """Classify compile/infra markers BEFORE the OOM substring scan: a
+    remote-compile HTTP 500 embeds the helper's full log, which can
+    contain an incidental 'oom' (the round-4 f32 artifact was mislabeled
+    error_kind=oom that way)."""
     s = f"{type(e).__name__}: {e}".lower()
+    if "mosaic" in s or "pallas" in s:
+        return "pallas-compile"
+    if "remote_compile" in s:
+        return "remote-compile"
     if ("resource_exhausted" in s or "out of memory" in s
             or "oom" in s.replace("boom", "")):
         return "oom"
-    if "mosaic" in s or "pallas" in s or "remote_compile" in s:
-        return "pallas-compile"
     if "unimplemented" in s or "compil" in s:
         return "compile"
     return type(e).__name__
@@ -126,6 +160,7 @@ def run_bench(args) -> dict:
     import jax
     import jax.numpy as jnp
 
+
     try:
         jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
@@ -134,7 +169,7 @@ def run_bench(args) -> dict:
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-        if not args.quick and args.res == "352x640":
+        if not args.quick and args.res in ("352x640", "720x1280"):
             args.quick = True  # full-res CPU run is pointlessly slow
 
     from demfi_tpu.config import config_rb
@@ -171,7 +206,12 @@ def run_bench(args) -> dict:
     ts = jnp.asarray(np.linspace(1 / 8, 7 / 8, n_t, dtype=np.float32))
 
     on_tpu = jax.default_backend() == "tpu"
+    # the f32 reroute is RETIRED by default (scripts/f32_repro.py came
+    # back all-clean on the current toolchain); this branch only runs
+    # when DEMFI_F32_TPU_SAFE_PIXELS re-arms the engine guard, so the
+    # bench times what the engine actually executes
     f32_tiled = (args.dtype == "float32" and on_tpu
+                 and _F32_TPU_SAFE_PIXELS > 0
                  and h * w > _F32_TPU_SAFE_PIXELS
                  and not int(os.environ.get("DEMFI_F32_TPU_UNSAFE_OK",
                                             "0") or "0"))
@@ -235,8 +275,16 @@ def run_bench(args) -> dict:
                     lo = _tile_bounds(pb, new_h, new_w, ph, sh, pw, sw)
                     tile = fr_np[:, :, lo[0]:lo[1], lo[2]:lo[3], :]
                     groups.setdefault(tile.shape, []).append(tile)
-            batches = [jnp.asarray(np.concatenate(g, axis=0))
-                       for g in groups.values()]
+            # bound each batch by the HBM budget (tiles x instants x
+            # tile-pixels, f32 = 2x the bf16-measured bytes/pixel-
+            # instant) — the unbounded same-shape concat OOM'd in r4
+            batches = []
+            for shape, g in groups.items():
+                per_call = max(1, _pixel_instant_budget()
+                               // max(n_t * shape[2] * shape[3] * 2, 1))
+                for i in range(0, len(g), per_call):
+                    batches.append(jnp.asarray(
+                        np.concatenate(g[i:i + per_call], axis=0)))
 
             def tile_win(params, batch, ts):
                 ctx = model.apply(params, batch, method=model.extract)
@@ -247,14 +295,15 @@ def run_bench(args) -> dict:
                                   args.n_tst, method=model.synthesize)
                 return checksum(out)
 
-            fns = [jax.jit(tile_win) for _ in batches]
-            for f, b in zip(fns, batches):
-                float(f(params, b, ts))  # compile each tile shape
+            # ONE jit callable: same-shape sub-batches share the cache
+            fn = jax.jit(tile_win)
+            for b in batches:
+                float(fn(params, b, ts))  # compile each distinct shape
 
             def all_tiles():
                 acc = 0.0
-                for f, b in zip(fns, batches):
-                    acc += float(f(params, b, ts))
+                for b in batches:
+                    acc += float(fn(params, b, ts))
                 return acc
 
             dt, cs, floor = timed_region(lambda: jnp.float32(all_tiles()),
@@ -351,7 +400,7 @@ def run_bench(args) -> dict:
                 chunk = 1
                 jax.clear_caches()
                 continue
-            if (kind == "pallas-compile"
+            if (kind in ("pallas-compile", "remote-compile")
                     and (_use_pallas_gather() or _use_pallas_scatter())
                     and "no-pallas" not in retries):
                 # only a *Pallas* failure with Pallas actually enabled
@@ -407,7 +456,11 @@ def run_bench(args) -> dict:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
-    ap.add_argument("--res", type=str, default="352x640")
+    ap.add_argument("--res", type=str, default="720x1280",
+                    help="default 720x1280: BASELINE.json's headline "
+                         "metric is interp frames/sec/chip at 720p x8 "
+                         "(Table-2 Rt pixel-scaled); use 352x640 for the "
+                         "Table-2 Rt geometry itself")
     ap.add_argument("--dtype", type=str, default="bfloat16",
                     choices=["float32", "bfloat16"])
     ap.add_argument("--n_tst", type=int, default=3)
@@ -435,6 +488,7 @@ def main():
                     help="force an explicitly-labeled CPU measurement")
     ap.add_argument("--no_probe", action="store_true")
     args = ap.parse_args()
+    _LAST_GOOD_HINT[:] = [(args.res, args.dtype)]
 
     if not (args.cpu or args.no_probe):
         ok, detail = probe_backend(args.probe_timeout)

@@ -21,6 +21,7 @@ Deliberate departures from the reference inference driver
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -39,21 +40,28 @@ _BYTES_PER_PIXEL_INSTANT = 3500
 _FALLBACK_PIXEL_INSTANT_BUDGET = 3_500_000  # == 0.78 * 15.75 GB / 3.5 KB
 _budget_cache: List[int] = []
 
-# XLA:TPU f32 fusion miscompile guard (ROUND2_NOTES.md "Open bug",
-# re-confirmed by measure_tpu --sections f32check this round): float32
-# full-frame Stage-II outputs go NaN at >=352x640 on the current
-# relay/libtpu while <=192x320 tiles are verified clean. Until the
-# toolchain updates, f32 TPU eval above the safe pixel count is
-# auto-routed through the (bit-equivalent-semantics) tiled path.
-# DEMFI_F32_TPU_UNSAFE_OK=1 disables the rerouting (for toolchain
-# re-testing). Retirement test: scripts/f32_repro.py (standalone
-# distilled constructs + the full-model check; run on every toolchain
-# bump — when it prints all-clean, delete this guard).
-_F32_TPU_SAFE_PIXELS = 192 * 320
+# XLA:TPU f32 fusion miscompile guard — RETIRED 2026-08-19. Rounds 2-3
+# saw float32 full-frame Stage-II outputs go NaN at >=352x640 (while
+# <=192x320 tiles stayed clean), so f32 TPU eval above a safe pixel
+# count was auto-routed through the (bit-equivalent-semantics) tiled
+# path. The retirement test (scripts/f32_repro.py: distilled constructs
+# c1/c2 + the full-model c3) came back ALL CLEAN on the current
+# toolchain (tpu_reports/f32_repro.json, jax/jaxlib 0.9.0, TPU v5
+# lite), independently confirmed by measure_tpu --sections f32check
+# (f32_352x640_finite: true). The guard machinery stays, disarmed:
+# DEMFI_F32_TPU_SAFE_PIXELS=<pixels> re-arms the reroute above that
+# pixel count (the round-3 behavior was 61440 = 192*320) should a
+# future toolchain regress — re-run scripts/f32_repro.py to decide.
+_F32_TPU_SAFE_PIXELS = int(os.environ.get(
+    "DEMFI_F32_TPU_SAFE_PIXELS", "0") or "0")
+# verified-clean tile size of the historical reroute (used as the tile
+# budget when the guard is re-armed without an explicit pixel count)
+_F32_GUARD_TILE_PIXELS = 192 * 320
 _f32_route_warned: List[bool] = []
 
 
-def _f32_tpu_tiling(h: int, w: int, patch_boundary: int
+def _f32_tpu_tiling(h: int, w: int, patch_boundary: int,
+                    budget: int = _F32_GUARD_TILE_PIXELS
                     ) -> Tuple[int, int]:
     """Fewest-tiles (n_ph, n_pw) grid whose tiles (incl. halo) stay
     within the f32-safe pixel count.
@@ -76,7 +84,7 @@ def _f32_tpu_tiling(h: int, w: int, patch_boundary: int
         th = hp // nh + 2 * pb
         # smallest dividing nw whose tile fits the budget at this nh
         for nw in div_w:
-            if th * (wp // nw + 2 * pb) <= _F32_TPU_SAFE_PIXELS:
+            if th * (wp // nw + 2 * pb) <= budget:
                 if best is None or nh * nw < best[0]:
                     best = (nh * nw, nh, nw)
                 break
@@ -313,10 +321,15 @@ class InferenceEngine:
         """User cap if given, else the HBM-derived one (per-tile pixels
         when the tiled path will split the frame; a window batch of N
         multiplies the pixels per instant by N). Returns 0 when even a
-        single instant of the full window batch exceeds the budget."""
+        single instant of the full window batch exceeds the budget.
+
+        The 3.5 KB/pixel-instant constant was measured at bfloat16
+        compute; float32 activations double it, so the f32 cap halves."""
         if self.t_chunk:
             return self.t_chunk
         px = (h // test_patch[0]) * (w // test_patch[1]) * n_windows
+        if self.model.dtype == jnp.float32:
+            px *= 2
         cap = _pixel_instant_budget() // max(px, 1)
         if cap < 1:
             return 0 if n_windows > 1 else 1
@@ -326,25 +339,28 @@ class InferenceEngine:
                        test_patch: Tuple[int, int],
                        patch_boundary: int) -> Tuple[int, int]:
         """Reroute f32 full-frame TPU eval through the tiled path when
-        the frame exceeds the miscompile-safe pixel count (see
-        _F32_TPU_SAFE_PIXELS above). No-op for bf16, CPU, already-tiled
-        calls, or with DEMFI_F32_TPU_UNSAFE_OK=1."""
-        import os
+        the frame exceeds the (env-armed) miscompile-safe pixel count.
+        RETIRED by default — the current toolchain passes the full
+        scripts/f32_repro.py suite (see _F32_TPU_SAFE_PIXELS above);
+        DEMFI_F32_TPU_SAFE_PIXELS re-arms it. No-op for bf16, CPU,
+        already-tiled calls, or with DEMFI_F32_TPU_UNSAFE_OK=1."""
         # int-parsed like every other DEMFI_* switch ("0" keeps the guard)
         unsafe_ok = bool(int(os.environ.get("DEMFI_F32_TPU_UNSAFE_OK",
                                             "0") or "0"))
-        if (test_patch != (1, 1)
+        safe_px = _F32_TPU_SAFE_PIXELS
+        if (safe_px <= 0
+                or test_patch != (1, 1)
                 or self.model.dtype != jnp.float32
-                or h * w <= _F32_TPU_SAFE_PIXELS
+                or h * w <= safe_px
                 or unsafe_ok
                 or jax.default_backend() != "tpu"):
             return test_patch
-        routed = _f32_tpu_tiling(h, w, patch_boundary)
+        routed = _f32_tpu_tiling(h, w, patch_boundary,
+                                 min(safe_px, _F32_GUARD_TILE_PIXELS))
         if not _f32_route_warned:
             _f32_route_warned.append(True)
-            print(f"WARNING: float32 full-frame eval at {h}x{w} is "
-                  f"miscompiled (NaN) by the current XLA:TPU toolchain "
-                  f"(see measure_tpu --sections f32check); rerouting "
+            print(f"WARNING: float32 full-frame eval at {h}x{w} exceeds "
+                  f"DEMFI_F32_TPU_SAFE_PIXELS={safe_px}; rerouting "
                   f"through the tiled path test_patch={routed}. Use "
                   f"bfloat16 for full-frame speed, or set "
                   f"DEMFI_F32_TPU_UNSAFE_OK=1 to force the untiled "
@@ -449,10 +465,20 @@ class InferenceEngine:
         for pos, tile in tiles:
             groups.setdefault(tile.shape, []).append((pos, tile))
         for shape, group in groups.items():
-            batch = np.concatenate([t for _, t in group], axis=0)
-            ts_b = np.tile(ts[None], (len(group), 1))
-            results = self._run(batch, ts_b)
-            for (ph, pw), res in zip((p for p, _ in group), results):
+            # bound the group batch by the HBM budget too: a fine grid
+            # can put dozens of same-shape interior tiles in one group,
+            # and tiles x instants x tile-pixels is the real footprint
+            tile_px = shape[2] * shape[3]
+            if self.model.dtype == jnp.float32:
+                tile_px *= 2
+            per_call = max(1, _pixel_instant_budget() // max(m * tile_px, 1))
+            sub_results: List = []
+            for i in range(0, len(group), per_call):
+                sub = group[i:i + per_call]
+                batch = np.concatenate([t for _, t in sub], axis=0)
+                ts_b = np.tile(ts[None], (len(sub), 1))
+                sub_results.extend(self._run(batch, ts_b))
+            for (ph, pw), res in zip((p for p, _ in group), sub_results):
                 for name, canvas_arr in fields.items():
                     t = _trim(getattr(res, name), patch_boundary,
                               new_h, new_w, ph, sh, pw, sw)

@@ -23,14 +23,25 @@ toolchain (jax/jaxlib/libtpu or the axon relay) updates. Constructs:
                           through DeMFINet synthesize (random params) —
                           the exact program the engine guards.
 
-Verdicts land in the JSON report keyed per construct. When c1 AND c3 are
-clean on a NEW toolchain, _F32_TPU_SAFE_PIXELS can be retired (set
-DEMFI_F32_TPU_UNSAFE_OK=1 to A/B the untiled path first).
+Verdicts land in the JSON report keyed per construct. RETIREMENT DONE
+(2026-08-19): this suite came back all-clean on jax/jaxlib 0.9.0 /
+TPU v5 lite (tpu_reports/f32_repro.json), so the engine reroute is
+disarmed by default. DEMFI_F32_TPU_SAFE_PIXELS=<pixels> re-arms it
+(61440 restores the round-3 behavior) if a future toolchain makes this
+suite go dirty again.
 
 Usage: python scripts/f32_repro.py [--res 352x640] [--skip_model]
                                    [--out tpu_reports/f32_repro.json]
 """
 from __future__ import annotations
+
+import os as _os
+import sys as _sys
+
+# c3 imports demfi_tpu; when the site-packages .pth is absent (fresh
+# venv) the bare `python scripts/f32_repro.py` can't see the repo root
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(__file__))))
 
 import argparse
 import json

@@ -188,8 +188,11 @@ def test_auto_t_chunk_equals_unchunked(engine, monkeypatch):
     assert eng._effective_t_chunk(64, 64, 4) is None  # tiny frame: no split
     full = eng.forward_window(frames, ts)
 
-    # shrink the budget so 64x64 allows only 2 instants per batch
-    monkeypatch.setattr(E, "_budget_cache", [2 * 64 * 64])
+    # shrink the budget so 64x64 allows only 2 instants per batch; the
+    # fixture model is float32, which doubles the per-pixel-instant
+    # bytes vs the bf16-measured constant (engine._effective_t_chunk)
+    f32x = 2 if eng.model.dtype == jnp.float32 else 1
+    monkeypatch.setattr(E, "_budget_cache", [2 * 64 * 64 * f32x])
     assert eng._effective_t_chunk(64, 64, 4) == 2
     # ...and a 4-window batch at the same budget exceeds it entirely
     assert eng._effective_t_chunk(64, 64, 4, n_windows=4) == 0
@@ -201,13 +204,15 @@ def test_auto_t_chunk_equals_unchunked(engine, monkeypatch):
 
 
 def test_f32_tpu_reroute_logic(engine, monkeypatch):
-    """The f32 miscompile guard: full-frame f32 calls above the safe
-    pixel count must reroute to a tiling whose tiles (incl. halo) are
-    within the verified-clean size; bf16 engines and small frames are
-    untouched. (Backend-gated: simulated by monkeypatching
-    jax.default_backend — on CPU the guard is a no-op.)"""
+    """The f32 miscompile guard (RETIRED by default; re-armed here via
+    the module attr, as DEMFI_F32_TPU_SAFE_PIXELS would): full-frame f32
+    calls above the safe pixel count must reroute to a tiling whose
+    tiles (incl. halo) are within the verified-clean size; bf16 engines
+    and small frames are untouched. (Backend-gated: simulated by
+    monkeypatching jax.default_backend — on CPU the guard is a no-op.)"""
     from demfi_tpu.infer import engine as eng_mod
     _, _, engine = engine
+    monkeypatch.setattr(eng_mod, "_F32_TPU_SAFE_PIXELS", 192 * 320)
 
     # tiling chooser: tiles (computed on the PADDED dims, which is what
     # forward_window actually tiles) stay within the safe budget, and
@@ -251,6 +256,10 @@ def test_f32_tiling_and_env_guard_edge_cases(engine, monkeypatch):
     assert nph >= 1 and npw >= 1
 
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    # RETIRED default: guard disarmed -> f32 full-frame stays untiled
+    assert engine._route_f32_tpu(352, 640, (1, 1), 32) == (1, 1)
+    # re-armed (as DEMFI_F32_TPU_SAFE_PIXELS would)
+    monkeypatch.setattr(eng_mod, "_F32_TPU_SAFE_PIXELS", 192 * 320)
     monkeypatch.setenv("DEMFI_F32_TPU_UNSAFE_OK", "0")
     assert engine._route_f32_tpu(352, 640, (1, 1), 32) != (1, 1)
     monkeypatch.setenv("DEMFI_F32_TPU_UNSAFE_OK", "1")
