@@ -350,14 +350,15 @@ class _ConvParams(nn.Module):
 class SepConvGRU(nn.Module):
     """RAFT-style separable ConvGRU (DeMFInet.py:827-857).
 
-    TPU fusion (exact math, same parameter tree): the z and r gates read
-    the same ``[h, x]`` input, so their kernels are concatenated on the
-    output axis and computed in ONE conv pass; and every conv on a
-    concatenated input is split into per-operand convs summed afterwards
-    (``conv(concat(h, x), K) == conv(h, K[:, :, :hd]) + conv(x, K[:, :, hd:])``),
-    which avoids materializing the [B,H,W,2*h_dim] ``hx`` concats to HBM.
-    Measured on v5e: the booster's GRU slice was elementwise/HBM-bound,
-    not MXU-bound (ROUND2_NOTES.md stage budget)."""
+    TPU formulation (exact math, same parameter tree): the z and r
+    gates read the same ``[h, x]`` input, so their kernels concatenate
+    on the output axis and run as ONE conv on the materialized ``hx``
+    concat; the q gate runs one conv on ``[r*h, x]``. Two conv passes
+    per half. Measured on v5e (scripts/variant_lab.py, B=7 352x640
+    bf16, tpu_reports/variant_lab.json): concat 25.2 ms vs the round-3
+    split-conv form's 32.9 ms vs im2col 67.5 ms — the bigger K=2*h_dim
+    GEMM beats the extra HBM round-trips the split form was designed to
+    avoid."""
     h_dim: int
     dtype: Any = jnp.float32
 
@@ -378,16 +379,14 @@ class SepConvGRU(nn.Module):
             kq, bq = _ConvParams(hd, kshape, 2 * hd, name=names[2])()
             kzr = jnp.concatenate([kz, kr], axis=-1)
             bzr = jnp.concatenate([bz, br]).astype(self.dtype)
-            # all three gates' x-branches share one conv pass (the
-            # q-gate's h-branch can't join: it reads r * h)
-            xzrq = conv(x, jnp.concatenate([kzr[:, :, hd:],
-                                            kq[:, :, hd:]], axis=-1), pad)
-            zr = conv(h, kzr[:, :, :hd], pad) + xzrq[..., :2 * hd] + bzr
+            hx = jnp.concatenate([h.astype(self.dtype),
+                                  x.astype(self.dtype)], axis=-1)
+            zr = conv(hx, kzr, pad) + bzr
             z = nn.sigmoid(zr[..., :hd])
             r = nn.sigmoid(zr[..., hd:])
-            q = jnp.tanh(conv(r * h, kq[:, :, :hd], pad)
-                         + xzrq[..., 2 * hd:]
-                         + bq.astype(self.dtype))
+            q = jnp.tanh(conv(jnp.concatenate(
+                [(r * h).astype(self.dtype), x.astype(self.dtype)],
+                axis=-1), kq, pad) + bq.astype(self.dtype))
             return (1.0 - z) * h + z * q
 
         h = half(h, x, ("convz1", "convr1", "convq1"), (1, 5),

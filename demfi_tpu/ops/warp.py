@@ -98,6 +98,19 @@ _FWARP_ONEHOT_D = int(os.environ.get("DEMFI_FWARP_ONEHOT_D", "32"))
 _FWARP_ONEHOT_D_SMALL = int(os.environ.get("DEMFI_FWARP_ONEHOT_D_SMALL",
                                            "8"))
 _FWARP_ONEHOT_CHUNK = int(os.environ.get("DEMFI_FWARP_ONEHOT_CHUNK", "32"))
+# One-hot-matmul bwarp (_bwarp_xla_onehot): vertical tap window D
+# (guarded, quad-gather fallback; horizontal motion exact for any
+# magnitude). Applied ONLY to narrow images (C <= _BWARP_ONEHOT_MAXC):
+# measured on v5e (raw per-iter times, 12 iters, bf16, 2026-08-19) —
+#   C=3  b=14 352x640: one-hot 38 ms vs quad 58 ms  (+20 ms/call, x3 reps)
+#   C=3  b=2  720x1280: one-hot 32 ms vs quad 48 ms (+16 ms/call, x2 reps)
+#   C=64 b=14 352x640: one-hot 123 ms vs quad 113 ms (LOSES; the 256 MB
+#     footprint cap shrinks the row chunk to ~6 and scan overhead
+#     dominates — raising the cap to 1 GB did not help)
+# so the C=64 feature warps keep the quad gather and the per-boost-
+# iteration C=3 image blends ride the one-hot GEMM. 0 disables.
+_BWARP_ONEHOT_D = int(os.environ.get("DEMFI_BWARP_ONEHOT_D", "8"))
+_BWARP_ONEHOT_MAXC = int(os.environ.get("DEMFI_BWARP_ONEHOT_MAXC", "4"))
 # HBM footprint bound for the [B,ch,W,W] one-hot GEMM operand; the row
 # chunk is capped so the operand never exceeds this many bytes
 _ONEHOT_FOOTPRINT_BYTES = 256_000_000
@@ -363,6 +376,11 @@ def bwarp(x: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     if _use_pallas_gather() and h >= 16 and w >= 16:
         return _bwarp_fast(x, flow, _PALLAS_VR)
     if _on_tpu():
+        dbw = _BWARP_ONEHOT_D
+        if (dbw > 0 and x.shape[-1] <= _BWARP_ONEHOT_MAXC
+                and w >= LANES_MIN and h >= 2 * dbw
+                and x.dtype == jnp.bfloat16):
+            return _bwarp_onehot_fast(x, flow, dbw, _FWARP_ONEHOT_CHUNK)
         return _bwarp_xla_quad(x, flow)
     return _bwarp_xla(x, flow)
 
@@ -774,6 +792,143 @@ def _fwarp_onehot_fast_bwd(d, row_chunk, force_bf16, res, g):
 
 
 _fwarp_onehot_fast.defvjp(_fwarp_onehot_fast_fwd, _fwarp_onehot_fast_bwd)
+
+
+def _bwarp_xla_onehot(x: jnp.ndarray, flow: jnp.ndarray, D: int,
+                      row_chunk: int = 32) -> jnp.ndarray:
+    """Backward warp as a vertical channel-stack + horizontal one-hot
+    matmul (the gather mirror of :func:`_fwarp_xla_onehot`).
+
+    The quad-row gather is descriptor-bound on TPU (one 4C-byte-row DMA
+    descriptor per output pixel; 46 ms at C=64 B=7 352x640). This form
+    has NO gathers:
+
+      1. Vertical taps become static shifts: the zero-padded image's
+         rows y+s for s in [-D, D] stack on channels -> [B,H,W,(2D+1)C].
+      2. The horizontal taps are EXACT for any horizontal motion as a
+         batched one-hot matmul over x, built from the TARGET pixel's
+         floor(dx): AX[b,y,t,s] = wx0 1[s==t+cx] + wx1 1[s==t+cx+1]
+         (out-of-image columns match no s -> contribute 0). Row-chunked
+         so BOTH the [B,ch,W,W] one-hot operand and the [B,ch,W,K] f32
+         matmul output stay under the footprint cap.
+      3. The vertical selection applies at the TARGET pixel INSIDE the
+         scan step, in f32: out = sum_s (wy0 1[ry==s] + wy1 1[ry==s-1])
+         block_s — a masked channel reduction fused with the matmul, so
+         no [B,H,W,K] intermediate ever reaches HBM.
+      4. The reference's >=0.999 validity mask uses the EXACT separable
+         f32 form ones = (wy0 vy0 + wy1 vy1)(wx0 vx0 + wx1 vx1) — NOT
+         a warped all-ones channel: routing the ones plane through the
+         bf16 einsum rounds interior values to 1 +- 2^-8 and flips the
+         hard threshold (measured 0.92 max error on v5e before this).
+
+    Window law: identical to the one-hot fwarp (guard via
+    :func:`_onehot_window_ok` — every in-image tap needs floor(dy) in
+    [-D, D-1]); the dispatch falls back to the quad gather otherwise.
+    Semantics match :func:`_bwarp_xla` for in-window flows.
+    """
+    b, h, w, c = x.shape
+    f32 = jnp.float32
+    cdt = jnp.bfloat16 if x.dtype == jnp.bfloat16 else f32
+    prec = None if cdt == jnp.bfloat16 else jax.lax.Precision.HIGHEST
+
+    u = flow[..., 0].astype(f32)
+    v = flow[..., 1].astype(f32)
+    cx = jnp.floor(u)
+    ry = jnp.floor(v)
+    fx = u - cx
+    fy = v - ry
+    cxi = cx.astype(jnp.int32)
+    ryi = ry.astype(jnp.int32)
+    wx0 = (1.0 - fx).astype(cdt)
+    wx1 = fx.astype(cdt)
+
+    shifts = list(range(-D, D + 1))
+    valp = jnp.pad(x.astype(cdt), ((0, 0), (D + 1, D + 1), (0, 0), (0, 0)))
+    stacked = jnp.concatenate(
+        [valp[:, D + 1 + s:D + 1 + s + h] for s in shifts], axis=-1)
+    K = (2 * D + 1) * c
+
+    bpe = 2 if cdt == jnp.bfloat16 else 4
+    cap_ax = _ONEHOT_FOOTPRINT_BYTES // (b * w * w * bpe)
+    cap_g = _ONEHOT_FOOTPRINT_BYTES // (b * w * K * 4)
+    ch = max(1, min(max(8, min(row_chunk, h)), int(cap_ax), int(cap_g), h))
+    hp = -(-h // ch) * ch
+    pad = hp - h
+    if pad:
+        stacked = jnp.pad(stacked, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        cxi = jnp.pad(cxi, ((0, 0), (0, pad), (0, 0)))
+        wx0 = jnp.pad(wx0, ((0, 0), (0, pad), (0, 0)))
+        wx1 = jnp.pad(wx1, ((0, 0), (0, pad), (0, 0)))
+        ryi = jnp.pad(ryi, ((0, 0), (0, pad), (0, 0)))
+        fy = jnp.pad(fy, ((0, 0), (0, pad), (0, 0)))
+    nch = hp // ch
+
+    def chunked(z):
+        return jnp.moveaxis(z.reshape((b, nch, ch) + z.shape[2:]), 1, 0)
+
+    xs = jnp.arange(w, dtype=jnp.int32)
+
+    def step(_, args):
+        stc, cxc, w0c, w1c, ryc, fyc = args
+        sc = xs + cxc                                   # tap-0 source col
+        ax = (jnp.where(sc[..., None] == xs, w0c[..., None], cdt(0))
+              + jnp.where((sc + 1)[..., None] == xs, w1c[..., None],
+                          cdt(0)))
+        g = jnp.einsum('bhts,bhsk->bhtk', ax, stc, precision=prec,
+                       preferred_element_type=f32)
+        out = jnp.zeros(g.shape[:3] + (c,), f32)
+        for i, s in enumerate(shifts):
+            m = (jnp.where(ryc == s, 1.0 - fyc, 0.0)
+                 + jnp.where(ryc == s - 1, fyc, 0.0))
+            out = out + g[..., i * c:(i + 1) * c] * m[..., None]
+        return None, out
+
+    _, G = jax.lax.scan(
+        step, None, (chunked(stacked), chunked(cxi), chunked(wx0),
+                     chunked(wx1), chunked(ryi), chunked(fy)))
+    out = jnp.moveaxis(G, 0, 1).reshape(b, hp, w, c)[:, :h]
+
+    # exact separable f32 validity (matches the quad path bit-for-bit:
+    # valid = vy(dy) & vx(dx) factorizes across the 2x2 taps)
+    gy = jnp.arange(h, dtype=jnp.int32)[None, :, None]
+    gx = jnp.arange(w, dtype=jnp.int32)[None, None, :]
+    y0 = gy + ryi[:, :h]
+    x0 = gx + cxi[:, :h]
+    fy_ = fy[:, :h]
+    fx_ = fx
+    vy = ((1.0 - fy_) * ((y0 >= 0) & (y0 < h))
+          + fy_ * ((y0 + 1 >= 0) & (y0 + 1 < h)))
+    vx = ((1.0 - fx_) * ((x0 >= 0) & (x0 < w))
+          + fx_ * ((x0 + 1 >= 0) & (x0 + 1 < w)))
+    ones = vy * vx
+    # f32 result like _bwarp_xla_quad (the guarded lax.cond branches
+    # must agree on dtype; callers cast to the model dtype themselves)
+    mask = jnp.broadcast_to((ones >= 0.999)[..., None], (b, h, w, c))
+    return out * mask.astype(f32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _bwarp_onehot_fast(x, flow, d, row_chunk):
+    """Motion-guarded one-hot-matmul backward warp: exact for ANY
+    horizontal motion; vertical taps with floor(dy) outside [-d, d-1]
+    that land inside the image trigger the quad-gather fallback.
+    Backward recomputes through the exact XLA op (custom_vjp pattern)."""
+    ok = _onehot_window_ok(x, flow, d)
+    return _guarded(ok, lambda xx, ff: _bwarp_xla_onehot(xx, ff, d,
+                                                         row_chunk),
+                    _bwarp_xla_quad, x, flow)
+
+
+def _bwarp_onehot_fast_fwd(x, flow, d, row_chunk):
+    return _bwarp_onehot_fast(x, flow, d, row_chunk), (x, flow)
+
+
+def _bwarp_onehot_fast_bwd(d, row_chunk, res, g):
+    _, vjp = jax.vjp(_bwarp_xla, *res)
+    return vjp(g)
+
+
+_bwarp_onehot_fast.defvjp(_bwarp_onehot_fast_fwd, _bwarp_onehot_fast_bwd)
 
 
 def _onehot_window_ok(img, flo, d):

@@ -343,6 +343,53 @@ def test_fwarp_onehot_matches_scatter():
                                np.asarray(obn, np.float32), atol=0.15)
 
 
+def test_bwarp_onehot_matches_quad():
+    """One-hot-matmul bwarp (_bwarp_xla_onehot): exact vs the 4-tap /
+    quad-gather paths for ANY horizontal motion; vertical taps within
+    the [-D, D-1] window; out-of-image taps zero + the >=0.999 hard
+    mask identical. Exercises row-chunk padding (h=24, chunks 32/8)."""
+    from demfi_tpu.ops.warp import (_bwarp_xla, _bwarp_xla_onehot,
+                                    _bwarp_onehot_fast, _bwarp_xla_quad)
+
+    x = jnp.asarray(RNG.randn(2, 24, 40, 5).astype(np.float32))
+    D = 8
+    flo = jnp.stack(
+        [jnp.asarray(RNG.uniform(-60, 60, (2, 24, 40)).astype(np.float32)),
+         jnp.asarray(RNG.uniform(-6.9, 6.9, (2, 24, 40)).astype(np.float32))],
+        axis=-1)
+    a = _bwarp_xla(x, flo)
+    for chunk in (32, 8):
+        o = _bwarp_xla_onehot(x, flo, D, row_chunk=chunk)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(o), atol=2e-5)
+
+    # guarded wrapper: big vertical motion falls back to the quad path
+    flo_big = flo.at[..., 1].mul(10.0)
+    a2 = _bwarp_xla(x, flo_big)
+    g2 = _bwarp_onehot_fast(x, flo_big, D, 32)
+    np.testing.assert_allclose(np.asarray(a2), np.asarray(g2), atol=1e-5)
+    g3 = _bwarp_onehot_fast(x, flo, D, 32)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(g3), atol=2e-5)
+
+    # custom_vjp backward == exact-op backward on both branches (linear
+    # functional: the backward is vjp(_bwarp_xla) by construction, so
+    # with a fixed cotangent the grads must agree to float tolerance —
+    # a squared loss would amplify primal deltas through the 0.999
+    # mask threshold)
+    ct = jnp.asarray(RNG.randn(*np.asarray(a).shape).astype(np.float32))
+    ge = jax.grad(lambda f: jnp.sum(_bwarp_xla(x, f) * ct))(flo)
+    go = jax.grad(lambda f: jnp.sum(_bwarp_onehot_fast(x, f, D, 32) * ct)
+                  )(flo)
+    np.testing.assert_allclose(np.asarray(ge), np.asarray(go),
+                               rtol=1e-4, atol=1e-5)
+
+    # bf16 rows ride the bf16 MXU einsum within bf16 tolerance
+    xb = x.astype(jnp.bfloat16)
+    ab = _bwarp_xla_quad(xb, flo)
+    ob = _bwarp_xla_onehot(xb, flo, D)
+    np.testing.assert_allclose(np.asarray(ab, np.float32),
+                               np.asarray(ob, np.float32), atol=0.15)
+
+
 def test_fwarp_onehot_tiered_exact_all_tiers():
     """Tiered one-hot fwarp (_fwarp_onehot_tiered): all three runtime
     tiers — small window, big window, quad-scatter fallback — produce
