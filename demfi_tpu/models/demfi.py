@@ -26,6 +26,7 @@ TPU-first design decisions (not translations):
 """
 from __future__ import annotations
 
+import os
 from typing import Any, List, Optional, Tuple
 
 import flax.linen as nn
@@ -350,15 +351,20 @@ class _ConvParams(nn.Module):
 class SepConvGRU(nn.Module):
     """RAFT-style separable ConvGRU (DeMFInet.py:827-857).
 
-    TPU formulation (exact math, same parameter tree): the z and r
-    gates read the same ``[h, x]`` input, so their kernels concatenate
-    on the output axis and run as ONE conv on the materialized ``hx``
-    concat; the q gate runs one conv on ``[r*h, x]``. Two conv passes
-    per half. Measured on v5e (scripts/variant_lab.py, B=7 352x640
-    bf16, tpu_reports/variant_lab.json): concat 25.2 ms vs the round-3
-    split-conv form's 32.9 ms vs im2col 67.5 ms — the bigger K=2*h_dim
-    GEMM beats the extra HBM round-trips the split form was designed to
-    avoid."""
+    TPU formulation (exact math, same parameter tree), selected by
+    ``DEMFI_GRU_CONCAT`` (default 1):
+      concat (1): the z and r gates read the same ``[h, x]`` input, so
+        their kernels concatenate on the output axis and run as ONE
+        conv on the materialized ``hx`` concat; the q gate runs one
+        conv on ``[r*h, x]``. Two conv passes per half.
+      split (0): every conv on a concatenated input splits into
+        per-operand convs summed afterwards, avoiding the
+        [B,H,W,2*h_dim] ``hx`` HBM materialization (the round-3 form).
+    Isolated on v5e (scripts/variant_lab.py, B=7 352x640 bf16,
+    tpu_reports/variant_lab.json): concat 25.2 ms vs split 32.9 ms vs
+    im2col 67.5 ms. Both forms are kept because isolated op wins do
+    not always survive composition into the full synthesize program —
+    the flag lets bench.py A/B them end-to-end."""
     h_dim: int
     dtype: Any = jnp.float32
 
@@ -367,6 +373,7 @@ class SepConvGRU(nn.Module):
         prec = jax.lax.Precision.HIGHEST if self.dtype == jnp.float32 else None
         hd = self.h_dim
         dn = ("NHWC", "HWIO", "NHWC")
+        concat_form = os.environ.get("DEMFI_GRU_CONCAT", "1") != "0"
 
         def conv(inp, k, pad):
             return jax.lax.conv_general_dilated(
@@ -379,14 +386,26 @@ class SepConvGRU(nn.Module):
             kq, bq = _ConvParams(hd, kshape, 2 * hd, name=names[2])()
             kzr = jnp.concatenate([kz, kr], axis=-1)
             bzr = jnp.concatenate([bz, br]).astype(self.dtype)
-            hx = jnp.concatenate([h.astype(self.dtype),
-                                  x.astype(self.dtype)], axis=-1)
-            zr = conv(hx, kzr, pad) + bzr
+            if concat_form:
+                hx = jnp.concatenate([h.astype(self.dtype),
+                                      x.astype(self.dtype)], axis=-1)
+                zr = conv(hx, kzr, pad) + bzr
+                z = nn.sigmoid(zr[..., :hd])
+                r = nn.sigmoid(zr[..., hd:])
+                q = jnp.tanh(conv(jnp.concatenate(
+                    [(r * h).astype(self.dtype), x.astype(self.dtype)],
+                    axis=-1), kq, pad) + bq.astype(self.dtype))
+                return (1.0 - z) * h + z * q
+            # all three gates' x-branches share one conv pass (the
+            # q-gate's h-branch can't join: it reads r * h)
+            xzrq = conv(x, jnp.concatenate([kzr[:, :, hd:],
+                                            kq[:, :, hd:]], axis=-1), pad)
+            zr = conv(h, kzr[:, :, :hd], pad) + xzrq[..., :2 * hd] + bzr
             z = nn.sigmoid(zr[..., :hd])
             r = nn.sigmoid(zr[..., hd:])
-            q = jnp.tanh(conv(jnp.concatenate(
-                [(r * h).astype(self.dtype), x.astype(self.dtype)],
-                axis=-1), kq, pad) + bq.astype(self.dtype))
+            q = jnp.tanh(conv(r * h, kq[:, :, :hd], pad)
+                         + xzrq[..., 2 * hd:]
+                         + bq.astype(self.dtype))
             return (1.0 - z) * h + z * q
 
         h = half(h, x, ("convz1", "convr1", "convq1"), (1, 5),

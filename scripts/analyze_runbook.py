@@ -47,7 +47,10 @@ def main(out="tpu_reports"):
 
     print("\n-- bench headlines")
     for name in ("bench_352x640_bf16.json", "bench_352x640_f32.json",
-                 "bench_720p_bf16.json"):
+                 "bench_720p_bf16.json",
+                 # round-4 default-formulation A/Bs (prior forms)
+                 "bench_352x640_bf16_gruSplit.json",
+                 "bench_352x640_bf16_noBwOnehot.json"):
         d = _load(os.path.join(out, name))
         if d:
             err = f"  ERROR: {d['error']}" if "error" in d else ""

@@ -61,6 +61,12 @@ echo "--- bench bf16 352x640"
 timeout 2400 python bench.py --res 352x640 --dtype bfloat16 \
     | tee "$OUT/bench_352x640_bf16.json" || true
 
+echo "--- formulation A/Bs at 352x640 (round-4 defaults vs prior forms, end-to-end)"
+timeout 2400 env DEMFI_GRU_CONCAT=0 python bench.py --res 352x640 \
+    --dtype bfloat16 | tee "$OUT/bench_352x640_bf16_gruSplit.json" || true
+timeout 2400 env DEMFI_BWARP_ONEHOT_D=0 python bench.py --res 352x640 \
+    --dtype bfloat16 | tee "$OUT/bench_352x640_bf16_noBwOnehot.json" || true
+
 echo "--- bench bf16 720p (the BASELINE headline geometry; auto t_map)"
 timeout 3600 python bench.py --res 720x1280 --dtype bfloat16 \
     | tee "$OUT/bench_720p_bf16.json" || true
@@ -77,6 +83,10 @@ timeout 3000 env DEMFI_FWARP_ONEHOT_D_SMALL=0 \
     python scripts/measure_tpu.py --res 720x1280 \
     --sections model --dtypes bfloat16 --t_map \
     --out "$OUT/measure_720p_tmap_notier.json" || true
+
+echo "--- variant lab: agg3 lane-pad A/B (VERDICT r3 item 5 candidate)"
+timeout 1800 python scripts/variant_lab.py --sections pad \
+    --out "$OUT/variant_lab_pad.json" || true
 
 echo "--- fresh stage breakdown (re-rank Stage-II glue post tiered fwarp)"
 timeout 3600 python scripts/breakdown_tpu.py --res 352x640 \

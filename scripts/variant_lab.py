@@ -13,6 +13,10 @@ Sections:
   dec    the 8-conv decoder chain (Dec_first_2..Dec_last2_2 shapes):
            conv     shipping nn.Conv/lax.conv chain
            im2col   every 3x3 conv as 9-shift channel stack + 1x1 GEMM
+  pad    Dec_first_2's 99-channel agg3 input conv vs the same conv with
+           activations+kernel zero-padded to 128 in-channels (exact:
+           zero rows contribute nothing; lane-aligned GEMM operand —
+           VERDICT r3 item 5 candidate)
   bwarp  backward-warp formulations at C=64 (the ft/r_ft blend sites):
            quad     shipping quad-row gather
            onehot   vertical stack + horizontal one-hot GEMM (D-window,
@@ -235,6 +239,41 @@ def main():
             put(f"dec_{mode}_B7_ms",
                 scalar_time(dec(mode), x, floor=floor) * 1000)
             put(f"dec_{mode}_maxerr", err)
+
+    if "pad" in sections:
+        # agg3 has 99 channels (models/demfi.py:705-710: 3+3+3+64+1+
+        # 2*6+1+12); the MXU lane width is 128. Padding the activation
+        # and the kernel's in-channel axis with zeros is exact math and
+        # hands XLA an aligned contraction — this A/B decides whether
+        # the pad is worth the extra 29% nominal FLOPs.
+        floor = measure_floor()
+        put("floor_pad_ms", floor * 1000)
+        cin = 99
+        x99 = rnd(B, h, w, cin)
+        k99 = rnd(3, 3, cin, 64) * 0.05
+        bb = rnd(64) * 0.1
+
+        def first_direct(x):
+            return conv(x, k99, ((1, 1), (1, 1))) + bb
+
+        pad_c = 128 - cin
+        k128 = jnp.pad(k99, ((0, 0), (0, 0), (0, pad_c), (0, 0)))
+
+        def first_padded(x):
+            xp = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, pad_c)))
+            return conv(xp, k128, ((1, 1), (1, 1))) + bb
+
+        ref = np.asarray(jax.jit(first_direct)(x99), np.float32)
+        out = np.asarray(jax.jit(first_padded)(x99), np.float32)
+        err = float(np.abs(out - ref).max())
+        put("pad_first_maxerr", err)
+        assert err <= atol, ("pad", err)
+        put("pad_first99_B7_ms",
+            scalar_time(first_direct, x99, floor=floor,
+                        raw_key="pad_first99_B7_raw_ms") * 1000)
+        put("pad_first128_B7_ms",
+            scalar_time(first_padded, x99, floor=floor,
+                        raw_key="pad_first128_B7_raw_ms") * 1000)
 
     if "bwarp" in sections:
         import demfi_tpu.ops.warp as W
