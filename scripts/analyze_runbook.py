@@ -95,7 +95,13 @@ def main(out="tpu_reports"):
                 "train_loss_finite_bf16", "train_loss_finite_f32")
     optional = ("fps_f32", "window_x8_f32_ms",
                 "golden_bf16_worst_absdiff", "golden_f32_worst_absdiff",
-                "train_step_b4_256_bf16_ms", "train_step_b2_256_f32_ms")
+                "train_step_b4_256_bf16_ms", "train_step_b2_256_f32_ms",
+                # fallback-ladder rungs (measure_tpu walks remat/batch
+                # fallbacks when the plain step OOMs at compile)
+                "train_step_b4_256_bf16_remat_ms",
+                "train_step_b2_256_f32_remat_ms",
+                "train_step_b2_256_bf16_remat_ms",
+                "train_step_b1_256_f32_remat_ms")
     incomplete = False
     m = _load(os.path.join(out, "measure.json"))
     if m:
@@ -109,6 +115,9 @@ def main(out="tpu_reports"):
         for k in optional:
             if k in m:
                 print(f"  {k:32s} {m[k]}")
+        for k in sorted(m):
+            if "error" in k:  # section-isolated failures are loud, not lost
+                print(f"  {k:32s} ERROR: {str(m[k])[:160]}")
     else:
         print("\n-- measure.json verdicts: MISSING ENTIRELY")
         incomplete = True
