@@ -98,6 +98,26 @@ _FWARP_ONEHOT_D = int(os.environ.get("DEMFI_FWARP_ONEHOT_D", "32"))
 _FWARP_ONEHOT_D_SMALL = int(os.environ.get("DEMFI_FWARP_ONEHOT_D_SMALL",
                                            "8"))
 _FWARP_ONEHOT_CHUNK = int(os.environ.get("DEMFI_FWARP_ONEHOT_CHUNK", "32"))
+# Motion-bucketed window LADDER (generalizes the two-rung tier): one
+# shared vertical-motion extremum picks the cheapest exact window via
+# lax.switch — D8 for the common CFR case, D16/D32 for faster motion,
+# quad scatter past the last rung. 720p B=1 guarded costs: D8 6.5 ms,
+# D16 9.1 ms, D32 25.4 ms, quad 47 ms (fwarp_onehot_720p_D*.json) —
+# the D16 rung keeps moderate-motion content near the headline fps.
+# Precedence: DEMFI_FWARP_ONEHOT_LADDER ("8,16,32"; "" disables
+# one-hot) > legacy DEMFI_FWARP_ONEHOT_D{,_SMALL} if either env is
+# explicitly set (sweep tooling compatibility) > the (8, 16, 32)
+# default.
+_ladder_env = os.environ.get("DEMFI_FWARP_ONEHOT_LADDER")
+if _ladder_env is not None:
+    _FWARP_ONEHOT_LADDER = tuple(sorted(
+        int(s) for s in _ladder_env.split(",") if s.strip()))
+elif ("DEMFI_FWARP_ONEHOT_D" in os.environ
+      or "DEMFI_FWARP_ONEHOT_D_SMALL" in os.environ):
+    _FWARP_ONEHOT_LADDER = tuple(sorted(
+        {d for d in (_FWARP_ONEHOT_D_SMALL, _FWARP_ONEHOT_D) if d > 0}))
+else:
+    _FWARP_ONEHOT_LADDER = (8, 16, 32)
 # One-hot-matmul bwarp (_bwarp_xla_onehot): vertical tap window D
 # (guarded, quad-gather fallback; horizontal motion exact for any
 # magnitude). Applied ONLY to narrow images (C <= _BWARP_ONEHOT_MAXC):
@@ -480,23 +500,20 @@ def fwarp(img: jnp.ndarray, flo: jnp.ndarray,
     if _use_pallas_scatter() and h >= 16 and w >= 16:
         return _fwarp_fast(img, flo, _PALLAS_VR)
     if _on_tpu():
-        dh = _FWARP_ONEHOT_D
         bf16_compute = (img.dtype == jnp.bfloat16
                         or compute_dtype == jnp.bfloat16)
-        if dh > 0 and w >= LANES_MIN and h >= 2 * dh and bf16_compute:
-            # one-hot MXU matmul scatter: exact for any horizontal
-            # motion, vertical window guarded with scatter fallback.
-            # bf16 compute only — the f32-HIGHEST one-hot loses to the
-            # quad scatter on-chip (see _fwarp_xla_onehot docstring)
-            ds = _FWARP_ONEHOT_D_SMALL
-            if 0 < ds < dh and h >= 2 * ds:
-                # tiered: small window first (4x cheaper GEMM), big
-                # window next, exact quad scatter last — all runtime
-                # lax.cond on the actual vertical-motion extremum
-                return _fwarp_onehot_tiered(img, flo, ds, dh,
-                                            _FWARP_ONEHOT_CHUNK, True)
-            return _fwarp_onehot_fast(img, flo, dh, _FWARP_ONEHOT_CHUNK,
-                                      True)
+        # one-hot MXU matmul scatter: exact for any horizontal motion,
+        # vertical window bucketed by the runtime motion extremum with
+        # a quad-scatter final rung. bf16 compute only — the
+        # f32-HIGHEST one-hot loses to the quad scatter on-chip (see
+        # _fwarp_xla_onehot docstring)
+        ladder = tuple(d for d in _FWARP_ONEHOT_LADDER if h >= 2 * d)
+        if ladder and w >= LANES_MIN and bf16_compute:
+            if len(ladder) == 1:
+                return _fwarp_onehot_fast(img, flo, ladder[0],
+                                          _FWARP_ONEHOT_CHUNK, True)
+            return _fwarp_onehot_ladder(img, flo, ladder,
+                                        _FWARP_ONEHOT_CHUNK, True)
         ds = _FWARP_SHIFT_STENCIL_D
         if ds > 0 and h > 2 * ds and w >= 2 * LANES_MIN:
             # Mosaic shift-stencil kernel, guarded: big motion falls
@@ -945,25 +962,11 @@ def _onehot_window_ok(img, flo, d):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def _fwarp_onehot_tiered(img, flo, d_small, d_big, row_chunk,
                          force_bf16=False):
-    """Two-tier motion-guarded one-hot fwarp.
-
-    Runtime dispatch on the vertical-motion extremum: the d_small
-    one-hot GEMM when all in-image splats fit its window (the common
-    case — CFR flows are a t-scaled optical-flow field), the d_big
-    GEMM otherwise, and the exact quad scatter past d_big. All three
-    branches compute the same splat (reference DeMFInet.py:625-729);
-    tiering only changes which formulation runs. Backward recomputes
-    through the exact XLA op like every other guarded fast path."""
-    big = lambda ii, ff: _guarded(
-        _onehot_window_ok(ii, ff, d_big),
-        lambda i2, f2: _fwarp_xla_onehot(i2, f2, d_big, row_chunk,
-                                         force_bf16),
-        _fwarp_xla_quad, ii, ff)
-    return _guarded(
-        _onehot_window_ok(img, flo, d_small),
-        lambda ii, ff: _fwarp_xla_onehot(ii, ff, d_small, row_chunk,
-                                         force_bf16),
-        big, img, flo)
+    """Two-tier motion-guarded one-hot fwarp (legacy shape of the
+    generalized window ladder; kept for the sweep tooling and its
+    direct tests)."""
+    return _fwarp_onehot_ladder(img, flo, (d_small, d_big), row_chunk,
+                                force_bf16)
 
 
 def _fwarp_onehot_tiered_fwd(img, flo, d_small, d_big, row_chunk,
@@ -980,6 +983,59 @@ def _fwarp_onehot_tiered_bwd(d_small, d_big, row_chunk, force_bf16,
 
 _fwarp_onehot_tiered.defvjp(_fwarp_onehot_tiered_fwd,
                             _fwarp_onehot_tiered_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _fwarp_onehot_ladder(img, flo, ladder, row_chunk, force_bf16=False):
+    """Motion-bucketed one-hot fwarp: lax.switch over a window ladder.
+
+    ONE pass over the flow field computes the vertical-motion extremum
+    of the in-image splats (min/max of floor(dy)); the switch index is
+    the number of ladder windows that extremum does NOT fit, so the
+    cheapest exact window runs — the last branch is the unbounded quad
+    scatter. All branches compute the same splat (reference
+    DeMFInet.py:625-729); bucketing only changes which formulation
+    runs, so the op stays exact for ANY motion. Backward recomputes
+    through the exact XLA op like every other guarded fast path.
+
+    vs the old nested-cond tier: one shared reduction instead of one
+    `_onehot_window_ok` per rung, and room for the D16 rung that keeps
+    moderate-motion content near the headline fps (see
+    _FWARP_ONEHOT_LADDER)."""
+    h = img.shape[1]
+    dy = flo[..., 1].astype(jnp.float32)
+    gy = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+    ty = gy + dy
+    in_img_y = (ty > -1.0) & (ty < h)
+    r1 = jnp.floor(dy)
+    # masked fill 0 always fits every window (d >= 1)
+    masked = jnp.where(in_img_y, r1, 0.0)
+    lo = jnp.min(masked)
+    hi = jnp.max(masked)
+    fits = jnp.stack([(lo >= float(-d)) & (hi <= float(d - 1))
+                      for d in ladder])
+    idx = jnp.sum(~fits).astype(jnp.int32)  # first fitting rung
+    branches = [
+        (lambda ii, ff, d=d: _fwarp_xla_onehot(ii, ff, d, row_chunk,
+                                               force_bf16))
+        for d in ladder
+    ] + [_fwarp_xla_quad]
+    return jax.lax.switch(idx, branches, img, flo)
+
+
+def _fwarp_onehot_ladder_fwd(img, flo, ladder, row_chunk,
+                             force_bf16=False):
+    return (_fwarp_onehot_ladder(img, flo, ladder, row_chunk,
+                                 force_bf16), (img, flo))
+
+
+def _fwarp_onehot_ladder_bwd(ladder, row_chunk, force_bf16, res, g):
+    _, vjp = jax.vjp(_fwarp_xla, *res)
+    return vjp(g)
+
+
+_fwarp_onehot_ladder.defvjp(_fwarp_onehot_ladder_fwd,
+                            _fwarp_onehot_ladder_bwd)
 
 
 def cfr_flow_t_align(flow_01: jnp.ndarray, flow_10: jnp.ndarray,

@@ -420,10 +420,10 @@ def test_fwarp_onehot_tiered_exact_all_tiers():
                                rtol=1e-4, atol=1e-5)
 
 
-def test_fwarp_dispatch_tiered_on_tpu_path(monkeypatch):
-    """fwarp() routes bf16 TPU-path calls through the tiered dispatch
-    when DEMFI_FWARP_ONEHOT_D_SMALL is set (the default, 8), and the
-    result still matches the exact scatter."""
+def test_fwarp_dispatch_ladder_on_tpu_path(monkeypatch):
+    """fwarp() routes bf16 TPU-path calls through the window-ladder
+    dispatch (default rungs 8,16,32 + quad), and the result still
+    matches the exact scatter."""
     import demfi_tpu.ops.warp as W
 
     x = jnp.asarray(RNG.randn(1, 32, 128, 3).astype(np.float32)
@@ -433,14 +433,47 @@ def test_fwarp_dispatch_tiered_on_tpu_path(monkeypatch):
          jnp.asarray(RNG.uniform(-5, 5, (1, 32, 128)).astype(np.float32))],
         axis=-1).astype(jnp.bfloat16)
     monkeypatch.setattr(W, "_on_tpu", lambda: True)
-    monkeypatch.setattr(W, "_FWARP_ONEHOT_D", 16)
-    monkeypatch.setattr(W, "_FWARP_ONEHOT_D_SMALL", 8)
+    monkeypatch.setattr(W, "_FWARP_ONEHOT_LADDER", (8, 16))
     o, on = W.fwarp(x, flo)
     a, an = W._fwarp_xla(x, flo)
     np.testing.assert_allclose(np.asarray(o, np.float32),
                                np.asarray(a, np.float32), atol=0.15)
     np.testing.assert_allclose(np.asarray(on, np.float32),
                                np.asarray(an, np.float32), atol=0.15)
+
+
+def test_fwarp_onehot_ladder_band_exactness():
+    """The ladder picks an exact formulation in EVERY motion band:
+    flows that fit D4, fit only D8, fit only D16, and fit no rung
+    (quad fallback) all reproduce the exact scatter, values and
+    gradients."""
+    from demfi_tpu.ops.warp import _fwarp_onehot_ladder, _fwarp_xla
+
+    h, w = 48, 128
+    x = jnp.asarray(RNG.randn(1, h, w, 2).astype(np.float32))
+    base = jnp.asarray(RNG.uniform(-30, 30, (1, h, w, 1)
+                                   ).astype(np.float32))  # any horizontal
+
+    def flow_with_dy(mag):
+        dy = jnp.asarray(
+            RNG.uniform(-mag, mag - 1.0, (1, h, w, 1)).astype(np.float32))
+        return jnp.concatenate([base, dy], axis=-1)
+
+    ladder = (4, 8, 16)
+    for mag, band in ((3.0, "d4"), (7.5, "d8"), (15.5, "d16"),
+                      (40.0, "quad")):
+        flo = flow_with_dy(mag)
+        a, an = _fwarp_xla(x, flo)
+        o, on = _fwarp_onehot_ladder(x, flo, ladder, 32)
+        np.testing.assert_allclose(np.asarray(o), np.asarray(a),
+                                   atol=2e-4, err_msg=band)
+        np.testing.assert_allclose(np.asarray(on), np.asarray(an),
+                                   atol=2e-4, err_msg=band)
+        ge = jax.grad(lambda f: jnp.sum(_fwarp_xla(x, f)[0] ** 2))(flo)
+        gl = jax.grad(lambda f: jnp.sum(
+            _fwarp_onehot_ladder(x, f, ladder, 32)[0] ** 2))(flo)
+        np.testing.assert_allclose(np.asarray(gl), np.asarray(ge),
+                                   rtol=1e-4, atol=1e-5, err_msg=band)
 
 
 def test_fwarp_onehot_force_bf16_close():
