@@ -21,6 +21,21 @@ import numpy as np
 from demfi_tpu.config import DeMFIConfig
 
 
+def str2bool(v) -> bool:
+    """Boolean CLI parser (the reference ships one unused at
+    utils.py:724-743 while its own ``type=bool`` flags silently parse
+    '--need_patch False' as True — any non-empty string is truthy).
+    Accepts yes/no/true/false/t/f/y/n/1/0, case-insensitive."""
+    if isinstance(v, bool):
+        return v
+    s = str(v).strip().lower()
+    if s in ("yes", "true", "t", "y", "1"):
+        return True
+    if s in ("no", "false", "f", "n", "0"):
+        return False
+    raise argparse.ArgumentTypeError(f"boolean value expected, got {v!r}")
+
+
 def parse_args(argv=None) -> DeMFIConfig:
     p = argparse.ArgumentParser(description="TPU-native DeMFI")
     d = DeMFIConfig()
@@ -57,8 +72,10 @@ def parse_args(argv=None) -> DeMFIConfig:
     p.add_argument("--lr_dec_start", type=int, default=d.lr_dec_start)
     p.add_argument("--batch_size", type=int, default=d.batch_size)
     p.add_argument("--weight_decay", type=float, default=d.weight_decay)
-    p.add_argument("--need_patch", type=bool, default=d.need_patch)
-    p.add_argument("--img_ch", type=int, default=d.img_ch)
+    p.add_argument("--need_patch", type=str2bool, default=d.need_patch)
+    p.add_argument("--img_ch", type=int, default=d.img_ch,
+                   help="accepted for reference CLI compatibility; only "
+                        "3 is supported (see parse_args validation)")
     p.add_argument("--nf", type=int, default=d.nf)
     p.add_argument("--scale_factor", type=int, default=d.scale_factor)
     p.add_argument("--patch_size", type=int, default=d.patch_size)
@@ -69,7 +86,8 @@ def parse_args(argv=None) -> DeMFIConfig:
     p.add_argument("--num_ResB_Dec", type=int, default=d.num_ResB_Dec)
     p.add_argument("--N_trn", type=int, default=d.N_trn)
     p.add_argument("--N_tst", type=int, default=d.N_tst)
-    p.add_argument("--shared_FGAC_flag", type=bool, default=d.shared_FGAC_flag)
+    p.add_argument("--shared_FGAC_flag", type=str2bool,
+                   default=d.shared_FGAC_flag)
     p.add_argument("--rec_D1_lambda", type=float, default=d.rec_D1_lambda)
     p.add_argument("--rec_D2_lambda", type=float, default=d.rec_D2_lambda)
     p.add_argument("--load_best_PSNR_flag", action="store_true")
@@ -104,6 +122,18 @@ def parse_args(argv=None) -> DeMFIConfig:
                    help="Pallas FGAC-sampler absolute row span")
     p.add_argument("--seed", type=int, default=d.seed)
     a = p.parse_args(argv)
+
+    if a.img_ch != 3:
+        # The reference plumbs --img_ch only into its data loaders
+        # (utils.py:360,494,591); its model hard-codes 3-channel convs,
+        # so img_ch=1 crashes upstream with an opaque shape error.
+        # Reject loudly instead of silently ignoring the flag (the
+        # BT.601 Y-conversion itself is implemented and tested:
+        # data/datasets.py::_normalize(channels=1)).
+        p.error(f"--img_ch {a.img_ch} is not supported: the DeMFI "
+                "architecture is 3-channel (the reference model "
+                "hard-codes 3-channel convs and would crash too); "
+                "only --img_ch 3 is valid")
 
     fields = {f.name for f in dataclasses.fields(DeMFIConfig)}
     kwargs = {k: v for k, v in vars(a).items() if k in fields}

@@ -108,16 +108,33 @@ _FWARP_ONEHOT_CHUNK = int(os.environ.get("DEMFI_FWARP_ONEHOT_CHUNK", "32"))
 # one-hot) > legacy DEMFI_FWARP_ONEHOT_D{,_SMALL} if either env is
 # explicitly set (sweep tooling compatibility) > the (8, 16, 32)
 # default.
-_ladder_env = os.environ.get("DEMFI_FWARP_ONEHOT_LADDER")
-if _ladder_env is not None:
-    _FWARP_ONEHOT_LADDER = tuple(sorted(
-        int(s) for s in _ladder_env.split(",") if s.strip()))
-elif ("DEMFI_FWARP_ONEHOT_D" in os.environ
-      or "DEMFI_FWARP_ONEHOT_D_SMALL" in os.environ):
-    _FWARP_ONEHOT_LADDER = tuple(sorted(
-        {d for d in (_FWARP_ONEHOT_D_SMALL, _FWARP_ONEHOT_D) if d > 0}))
-else:
-    _FWARP_ONEHOT_LADDER = (8, 16, 32)
+def _parse_onehot_ladder(env) -> tuple:
+    """Resolve the fwarp one-hot window ladder from an env mapping.
+
+    Precedence (documented above): DEMFI_FWARP_ONEHOT_LADDER >
+    legacy DEMFI_FWARP_ONEHOT_D{,_SMALL} > (8, 16, 32). Non-positive
+    rungs are dropped everywhere (d=0's window [-0,-1] is empty yet
+    would pass the h >= 2*d dispatch filter and compile a dead switch
+    branch); an explicit legacy DEMFI_FWARP_ONEHOT_D=0 is the master
+    off switch (quad scatter only) rather than a silent fallback to
+    the D_SMALL default rung."""
+    ladder_env = env.get("DEMFI_FWARP_ONEHOT_LADDER")
+    if ladder_env is not None:
+        return tuple(sorted(
+            {d for s in ladder_env.split(",") if s.strip()
+             for d in (int(s),) if d > 0}))
+    if int(env.get("DEMFI_FWARP_ONEHOT_D", "1")) <= 0:
+        return ()
+    if ("DEMFI_FWARP_ONEHOT_D" in env
+            or "DEMFI_FWARP_ONEHOT_D_SMALL" in env):
+        return tuple(sorted(
+            {d for d in (int(env.get("DEMFI_FWARP_ONEHOT_D_SMALL", "8")),
+                         int(env.get("DEMFI_FWARP_ONEHOT_D", "32")))
+             if d > 0}))
+    return (8, 16, 32)
+
+
+_FWARP_ONEHOT_LADDER = _parse_onehot_ladder(os.environ)
 # One-hot-matmul bwarp (_bwarp_xla_onehot): vertical tap window D
 # (guarded, quad-gather fallback; horizontal motion exact for any
 # magnitude). Applied ONLY to narrow images (C <= _BWARP_ONEHOT_MAXC):
@@ -1002,6 +1019,10 @@ def _fwarp_onehot_ladder(img, flo, ladder, row_chunk, force_bf16=False):
     `_onehot_window_ok` per rung, and room for the D16 rung that keeps
     moderate-motion content near the headline fps (see
     _FWARP_ONEHOT_LADDER)."""
+    # The switch index (count of windows the extremum does NOT fit) is
+    # only "first fitting rung" for an ascending ladder — normalize so
+    # direct callers with unsorted/duplicate rungs stay exact.
+    ladder = tuple(sorted({d for d in ladder if d > 0}))
     h = img.shape[1]
     dy = flo[..., 1].astype(jnp.float32)
     gy = jnp.arange(h, dtype=jnp.float32)[None, :, None]

@@ -128,6 +128,32 @@ def test_cli_parse_defaults():
     assert cfg.model_dir == "DeMFInet_exp3"
 
 
+def test_cli_bool_flags_parse_false():
+    """--need_patch/--shared_FGAC_flag use str2bool: 'False' really
+    disables (the reference's type=bool wart parses any non-empty
+    string, including 'False', as True — utils.py:724-743 ships the
+    fix unused)."""
+    cfg = parse_args(["--phase", "train", "--need_patch", "False",
+                      "--shared_FGAC_flag", "false"])
+    assert cfg.need_patch is False
+    assert cfg.shared_FGAC_flag is False
+    cfg = parse_args(["--phase", "train", "--need_patch", "true",
+                      "--shared_FGAC_flag", "1"])
+    assert cfg.need_patch is True
+    assert cfg.shared_FGAC_flag is True
+    with pytest.raises(SystemExit):
+        parse_args(["--phase", "train", "--need_patch", "maybe"])
+
+
+def test_cli_img_ch_rejected_loudly():
+    """--img_ch != 3 errors with a clear message instead of parsing and
+    silently doing nothing (the architecture is 3-channel; the
+    reference model would crash opaquely on img_ch=1)."""
+    assert parse_args(["--phase", "train", "--img_ch", "3"]).img_ch == 3
+    with pytest.raises(SystemExit):
+        parse_args(["--phase", "train", "--img_ch", "1"])
+
+
 def test_auto_resume_flag_and_checkpoint_probe(tmp_path):
     """--auto_resume parses, and the resume predicate (latest checkpoint
     exists for the experiment) matches ExperimentManager.has()."""

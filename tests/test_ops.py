@@ -442,6 +442,50 @@ def test_fwarp_dispatch_ladder_on_tpu_path(monkeypatch):
                                np.asarray(an, np.float32), atol=0.15)
 
 
+def test_fwarp_onehot_ladder_env_parse():
+    """Env resolution of the window ladder (ADVICE r4): non-positive
+    rungs are filtered everywhere, an explicit legacy
+    DEMFI_FWARP_ONEHOT_D=0 disables one-hot entirely (the documented
+    off switch), and DEMFI_FWARP_ONEHOT_LADDER='' also disables."""
+    from demfi_tpu.ops.warp import _parse_onehot_ladder as parse
+
+    assert parse({}) == (8, 16, 32)
+    assert parse({"DEMFI_FWARP_ONEHOT_LADDER": "8,16,32"}) == (8, 16, 32)
+    # unsorted + dup + non-positive rungs normalize
+    assert parse({"DEMFI_FWARP_ONEHOT_LADDER": "16,8,0,8,-4"}) == (8, 16)
+    assert parse({"DEMFI_FWARP_ONEHOT_LADDER": ""}) == ()
+    # legacy master off switch: D=0 means quad-scatter only, not the
+    # D_SMALL default rung
+    assert parse({"DEMFI_FWARP_ONEHOT_D": "0"}) == ()
+    assert parse({"DEMFI_FWARP_ONEHOT_D": "0",
+                  "DEMFI_FWARP_ONEHOT_D_SMALL": "8"}) == ()
+    # D_SMALL=0 drops only the small tier (runbook's single-window A/B)
+    assert parse({"DEMFI_FWARP_ONEHOT_D_SMALL": "0"}) == (32,)
+    assert parse({"DEMFI_FWARP_ONEHOT_D": "16"}) == (8, 16)
+    # explicit ladder wins over legacy vars
+    assert parse({"DEMFI_FWARP_ONEHOT_LADDER": "4",
+                  "DEMFI_FWARP_ONEHOT_D": "0"}) == (4,)
+
+
+def test_fwarp_onehot_ladder_unsorted_exact():
+    """_fwarp_onehot_ladder normalizes an unsorted/duplicated ladder
+    internally (ADVICE r4: the switch index is only 'first fitting
+    rung' for an ascending ladder) — a descending tuple must still be
+    exact in a band that fits the small rung only after sorting."""
+    from demfi_tpu.ops.warp import _fwarp_onehot_ladder, _fwarp_xla
+
+    h, w = 48, 128
+    x = jnp.asarray(RNG.randn(1, h, w, 2).astype(np.float32))
+    flo = jnp.stack(
+        [jnp.asarray(RNG.uniform(-20, 20, (1, h, w)).astype(np.float32)),
+         jnp.asarray(RNG.uniform(-7.5, 6.5, (1, h, w)).astype(np.float32))],
+        axis=-1)
+    a, an = _fwarp_xla(x, flo)
+    o, on = _fwarp_onehot_ladder(x, flo, (16, 8, 16, 0), 32)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(a), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(on), np.asarray(an), atol=2e-4)
+
+
 def test_fwarp_onehot_ladder_band_exactness():
     """The ladder picks an exact formulation in EVERY motion band:
     flows that fit D4, fit only D8, fit only D16, and fit no rung
