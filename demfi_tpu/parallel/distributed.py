@@ -50,6 +50,29 @@ def _slice_index(d) -> int:
     return getattr(d, "slice_index", 0) or 0
 
 
+def _mesh_device_array(devices, data: int, spatial: int) -> np.ndarray:
+    """[data, spatial] device layout (the testable core of
+    make_global_mesh; see that docstring for the DCN/ICI rationale)."""
+    n = len(devices)
+    need = data * spatial
+    slices = sorted({_slice_index(d) for d in devices})
+    if len(slices) > 1 and need == n:
+        per = n // len(slices)
+        if (data % len(slices) == 0 and per % spatial == 0
+                and per * len(slices) == n):
+            # hybrid layout: [n_slices (DCN), per_slice_data, spatial]
+            from jax.experimental import mesh_utils
+            arr = mesh_utils.create_hybrid_device_mesh(
+                (data // len(slices), spatial), (len(slices), 1),
+                devices=devices)
+            # collapse the DCN axis into 'data' (outermost stride)
+            return arr.reshape(data, spatial)
+
+    # single slice / CPU: plain row-major over process-then-local order,
+    # which already puts the process boundary on the outer (data) stride
+    return np.asarray(devices[:need]).reshape(data, spatial)
+
+
 def make_global_mesh(data: int = 0, spatial: int = 1):
     """('data', 'spatial') mesh over ALL processes' devices.
 
@@ -73,24 +96,8 @@ def make_global_mesh(data: int = 0, spatial: int = 1):
     if need == 1:
         return None
 
-    slices = sorted({_slice_index(d) for d in devices})
-    if len(slices) > 1 and need == n:
-        per = n // len(slices)
-        if (data % len(slices) == 0 and per % spatial == 0
-                and per * len(slices) == n):
-            # hybrid layout: [n_slices (DCN), per_slice_data, spatial]
-            from jax.experimental import mesh_utils
-            arr = mesh_utils.create_hybrid_device_mesh(
-                (data // len(slices), spatial), (len(slices), 1),
-                devices=devices)
-            # collapse the DCN axis into 'data' (outermost stride)
-            arr = arr.reshape(data, spatial)
-            return Mesh(arr, ("data", "spatial"))
-
-    # single slice / CPU: plain row-major over process-then-local order,
-    # which already puts the process boundary on the outer (data) stride
-    arr = np.asarray(devices[:need]).reshape(data, spatial)
-    return Mesh(arr, ("data", "spatial"))
+    return Mesh(_mesh_device_array(devices, data, spatial),
+                ("data", "spatial"))
 
 
 def global_batch_from_local(mesh, batch, specs=None):

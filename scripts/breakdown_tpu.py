@@ -65,23 +65,108 @@ def main():
     import demfi_tpu.ops.warp as W
 
     B = 7
+    dt_ = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     if "warps" in stages:
-        x64 = jnp.asarray(rng.randn(B, h, w, 64).astype(np.float32))
-        x3 = jnp.asarray(rng.randn(B, h, w, 3).astype(np.float32))
+        # Inputs in the MODEL's dtype: features (x64/x3) are bf16 in a
+        # bf16 model, flows stay f32, and fwarp/cfr take compute_dtype
+        # so the bf16 one-hot MXU ladder actually dispatches (the
+        # r05 first cut measured the f32 quad path by mistake).
+        x64 = jnp.asarray(rng.randn(B, h, w, 64).astype(np.float32)
+                          ).astype(dt_)
+        x3 = jnp.asarray(rng.randn(B, h, w, 3).astype(np.float32)
+                         ).astype(dt_)
         flo = jnp.asarray((rng.randn(B, h, w, 2) * 5).astype(np.float32))
         t = jnp.full((B, 1, 1, 1), 0.375, jnp.float32)
         put("bwarp64_B7_ms", scalar_time(W.bwarp, x64, flo,
                                          floor=floor) * 1000)
         put("bwarp3_B7_ms", scalar_time(W.bwarp, x3, flo,
                                         floor=floor) * 1000)
-        put("fwarp2_B7_ms", scalar_time(W.fwarp, flo, flo,
-                                        floor=floor) * 1000)
-        put("cfr_B7_ms", scalar_time(W.cfr_flow_t_align, flo, flo, t,
-                                     floor=floor) * 1000)
+        put("fwarp2_B7_ms", scalar_time(
+            lambda f: W.fwarp(f, f, dt_), flo, floor=floor) * 1000)
+        put("cfr_B7_ms", scalar_time(
+            lambda a, b, tt: W.cfr_flow_t_align(a, b, tt, dt_),
+            flo, flo, t, floor=floor) * 1000)
         put("abs64_B7_ms", scalar_time(
             W.bilinear_sample_abs, x64,
             jnp.asarray((rng.randn(B, h, w, 2) * 8 + 4).astype(np.float32)),
             floor=floor) * 1000)
+
+    if "stage1" in stages:
+        # Isolated t-dependent Stage-I blocks at the eval t-batch, in
+        # the real model dtype — budgets synth_B7_N0 (demfi.py:574-621).
+        import flax.linen as nn
+        from demfi_tpu.models.demfi import (Mixer, RefineUNet, ResBlock,
+                                            _conv, _t_blend)
+
+        key = jax.random.PRNGKey(0)
+        nf = 64
+
+        def mk(s, dtype=None):
+            return jnp.asarray(rng.uniform(-1, 1, s).astype(np.float32)
+                               ).astype(dtype or dt_)
+
+        flo = jnp.asarray((rng.randn(B, h, w, 2) * 5).astype(np.float32))
+        t = jnp.full((B, 1, 1, 1), 0.375, jnp.float32)
+        occ = jnp.asarray(rng.uniform(0, 1, (B, h, w, 1)
+                                      ).astype(np.float32))
+        put("s1_cfr_ms", scalar_time(
+            lambda a, b, tt: W.cfr_flow_t_align(a, b, tt, dt_),
+            flo, flo, t, floor=floor) * 1000)
+
+        f0, f1 = mk((B, h, w, nf)), mk((B, h, w, nf))
+        def blend64(a, b, fa, fb, o, tt):
+            return _t_blend(*W.bwarp_pair(a, b, fa, fb), o, tt)
+        put("s1_ftblend_ms", scalar_time(
+            lambda *a: blend64(*a).astype(jnp.float32).sum(),
+            f0, f1, flo, -flo, occ, t, floor=floor) * 1000)
+
+        refine = RefineUNet(nf, dt_)
+        agg1 = mk((B, h, w, 2 * nf + nf + 4 + 4 + 1))
+        p_ref = refine.init(key, agg1)
+        put("s1_refine_ms", scalar_time(
+            lambda p, x: refine.apply(p, x).astype(jnp.float32).sum(),
+            p_ref, agg1, floor=floor) * 1000)
+
+        class D1(nn.Module):
+            dtype: object = dt_
+
+            @nn.compact
+            def __call__(self, x):
+                out = nn.relu(_conv(nf, 3, dtype=self.dtype,
+                                    name="first")(x))
+                for i in range(5):
+                    out = ResBlock(nf, self.dtype, name=f"res_{i}")(out)
+                out = nn.relu(_conv(nf, 3, dtype=self.dtype,
+                                    name="last1")(out))
+                return _conv(3, 3, dtype=self.dtype, name="last2")(out)
+
+        d1 = D1()
+        dec_in = mk((3 * B, h, w, nf))
+        p_d1 = d1.init(key, dec_in)
+        put("s1_d1_ms", scalar_time(
+            lambda p, x: d1.apply(p, x).astype(jnp.float32).sum(),
+            p_d1, dec_in, floor=floor) * 1000)
+
+        # Stage-II prologue: Ch_Reducer (7x7 conv 192->64) + ref encode
+        class ChRed(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                return jnp.tanh(_conv(nf, 7, dtype=dt_,
+                                      name="Ch_Reducer")(x))
+        chred = ChRed()
+        x192 = mk((B, h, w, 3 * nf))
+        p_cr = chred.init(key, x192)
+        put("s1_chred_ms", scalar_time(
+            lambda p, x: chred.apply(p, x).astype(jnp.float32).sum(),
+            p_cr, x192, floor=floor) * 1000)
+
+        mixer = Mixer(nf, dt_)
+        ref = mk((B, h, w, 30))
+        p_mx = mixer.init(key, ref, mk((B, h, w, 5)))
+        put("s1_refenc_ms", scalar_time(
+            lambda p, x: mixer.apply(p, x, method=mixer.encode_ref
+                                     ).astype(jnp.float32).sum(),
+            p_mx, ref, floor=floor) * 1000)
 
     if "synth" in stages:
         from demfi_tpu.config import config_rb

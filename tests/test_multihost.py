@@ -346,3 +346,47 @@ def test_two_process_run_train_end_to_end(tmp_path):
     # second run resumes past epoch 0 (broadcast decision + state)
     outs = run(resume=True)
     assert any("Training has been ended" in o for o in outs)
+
+
+def test_hybrid_mesh_dcn_layout():
+    """The multi-slice layout (parallel/distributed.py::_mesh_device_array,
+    create_hybrid_device_mesh branch): with 2 slices x 4 devices and a
+    4x2 (data, spatial) mesh, 'spatial' must stay intra-slice (ICI) and
+    the slice boundary (DCN) must be crossed only by the outermost
+    stride of the 'data' axis. Fabricated device objects carry
+    slice_index — this is the one piece of make_global_mesh CI devices
+    (all slice_index 0) can never reach."""
+    from demfi_tpu.parallel.distributed import _mesh_device_array
+
+    class FakeDev:
+        platform = "cpu"
+        device_kind = "fake_cpu"
+
+        def __init__(self, i, slice_index):
+            self.id = i
+            self.process_index = slice_index
+            self.slice_index = slice_index
+
+        def __repr__(self):
+            return f"d{self.id}@s{self.slice_index}"
+
+    devs = [FakeDev(i, i // 4) for i in range(8)]
+    arr = _mesh_device_array(devs, data=4, spatial=2)
+    assert arr.shape == (4, 2)
+    assert sorted(d.id for d in arr.flat) == list(range(8))
+    # spatial groups never straddle a slice
+    for i in range(4):
+        assert len({d.slice_index for d in arr[i, :]}) == 1, arr
+    # data axis = [DCN, per-slice] collapsed: contiguous half per slice
+    col_slices = [arr[i, 0].slice_index for i in range(4)]
+    assert col_slices == sorted(col_slices), col_slices
+    assert col_slices in ([0, 0, 1, 1],), col_slices
+
+    # single-slice fallback: plain row-major (process boundary outermost)
+    devs0 = [FakeDev(i, 0) for i in range(8)]
+    arr0 = _mesh_device_array(devs0, data=4, spatial=2)
+    assert [d.id for d in arr0.flat] == list(range(8))
+
+    # non-divisible hybrid (data % n_slices != 0) falls back to row-major
+    arr_nd = _mesh_device_array(devs[:6] + devs[6:], data=8, spatial=1)
+    assert arr_nd.shape == (8, 1)
