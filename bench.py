@@ -202,6 +202,19 @@ def run_bench(args) -> dict:
         rng.uniform(-1, 1, (wb, 4, h, w, 3)).astype(np.float32))
     params = model.init(jax.random.PRNGKey(0), frames[:1, :, :64, :64],
                         jnp.zeros((1, 1)), num_update=1)
+    # Production-representative motion: at random init the backbone
+    # emits flows up to ~76 px (vertical 59), past every guarded window
+    # rung, so the un-calibrated bench times the unbounded quad
+    # fallbacks a trained checkpoint never hits (CFR 233 ms vs ~30 —
+    # tpu_reports/breakdown_r05_cuts.json). calibrate_flow_head rescales
+    # the flow head (exact; graph unchanged) to trained-range motion.
+    # --raw_flows restores the uncalibrated weights for A/B.
+    flow_cal = {"flow_calibration": "off (--raw_flows)"}
+    if not args.raw_flows:
+        from demfi_tpu.utils.profiling import calibrate_flow_head
+        params, raw_max = calibrate_flow_head(params, model, frames)
+        flow_cal = {"flow_calibration": "target 24 px",
+                    "raw_init_max_flow_px": round(raw_max, 1)}
     n_t = 7
     ts = jnp.asarray(np.linspace(1 / 8, 7 / 8, n_t, dtype=np.float32))
 
@@ -444,13 +457,17 @@ def run_bench(args) -> dict:
         mode += ", baseline Rt pixel-scaled from 640x352"
     if args.cpu:
         mode += ", CPU-FALLBACK (not a TPU number)"
-    return {
+    if not args.raw_flows:
+        mode += ", calibrated-motion"
+    rec = {
         "metric": f"x8 MFI interp frames/sec/chip ({h}x{w}, "
                   f"N_tst={args.n_tst}, {args.dtype}, wb={wb}, {mode})",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / baseline_fps, 2),
     }
+    rec.update(flow_cal)
+    return rec
 
 
 def main():
@@ -487,6 +504,11 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="force an explicitly-labeled CPU measurement")
     ap.add_argument("--no_probe", action="store_true")
+    ap.add_argument("--raw_flows", action="store_true",
+                    help="skip the flow-head calibration: time the "
+                         "random-init flow magnitudes (~76 px), which "
+                         "drive every guarded warp onto its unbounded "
+                         "fallback — NOT production-representative")
     args = ap.parse_args()
     _LAST_GOOD_HINT[:] = [(args.res, args.dtype)]
 

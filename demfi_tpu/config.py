@@ -121,6 +121,12 @@ class DeMFIConfig:
     # Remat (checkpoint) the RDB backbone during training to trade FLOPs
     # for HBM.
     remat_backbone: bool = False
+    # Remat granularity: "backbone" checkpoints the whole FFRDB (only its
+    # inputs survive to the backward pass — max HBM savings, recomputes
+    # the 12-RDB chain once); "rdb" checkpoints each RDB individually
+    # (keeps the 12 inter-RDB activations — less recompute, more HBM).
+    # Only meaningful when remat_backbone is True.
+    remat_granularity: str = "backbone"
     # EXPERIMENTAL: compute a tOF-style temporal-consistency number
     # during eval. Table 2 of the paper reports tOF but the released
     # reference code never computes it; this Farneback-based definition

@@ -180,9 +180,10 @@ def evaluate(cfg: DeMFIConfig, engine: InferenceEngine, multiple: int,
             total[k].update_from(scene[k])
             scene[k].reset()
 
-    def iter_results():
-        """Yield (window_data, WindowResult), batching device calls over
-        ``window_batch`` same-shape windows when untiled."""
+    def iter_dispatched():
+        """Yield (chunk, pending-or-results): load ``window_batch``
+        same-shape windows, then either async-dispatch them (untiled —
+        pending handle) or run them eagerly (tiled path)."""
         w = 0
         n_owned = len(owned)
         while w < n_owned:
@@ -198,22 +199,52 @@ def evaluate(cfg: DeMFIConfig, engine: InferenceEngine, multiple: int,
                         break
                     chunk.append(nxt)
             t0 = time.time()
-            if test_patch == (1, 1) and len(chunk) > 1:
+            if test_patch == (1, 1):
                 frames = np.stack([c[0] for c in chunk])
                 ts_b = np.asarray([[it.t_value for it in c[4]]
                                    for c in chunk], np.float32)
-                results = engine.forward_windows(
-                    frames, ts_b, patch_boundary=cfg.patch_boundary)
-            else:
-                results = [engine.forward_window(
-                    c[0][None],
-                    np.asarray([it.t_value for it in c[4]], np.float32),
-                    test_patch=test_patch,
-                    patch_boundary=cfg.patch_boundary) for c in chunk]
+                dispatch = getattr(engine, "dispatch_windows", None)
+                if dispatch is not None:
+                    pending = dispatch(frames, ts_b,
+                                       patch_boundary=cfg.patch_boundary)
+                    if pending is not None:
+                        yield chunk, ("pending", pending, t0)
+                        w += len(chunk)
+                        continue
+                elif len(chunk) > 1:   # engine-like stubs (tests)
+                    yield chunk, ("done", engine.forward_windows(
+                        frames, ts_b,
+                        patch_boundary=cfg.patch_boundary), t0)
+                    w += len(chunk)
+                    continue
+            results = [engine.forward_window(
+                c[0][None],
+                np.asarray([it.t_value for it in c[4]], np.float32),
+                test_patch=test_patch,
+                patch_boundary=cfg.patch_boundary) for c in chunk]
+            yield chunk, ("done", results, t0)
+            w += len(chunk)
+
+    def iter_results():
+        """Yield (window_data, WindowResult) with a two-deep device
+        pipeline: chunk N+1 is DISPATCHED before chunk N's results are
+        fetched, so the device computes through the tunnel readback +
+        the consumer's metrics work (round-4 VERDICT #8).
+        DEMFI_EVAL_PIPELINE=0 restores serial dispatch->fetch for A/B."""
+        pipelined = bool(int(os.environ.get("DEMFI_EVAL_PIPELINE",
+                                            "1") or "1"))
+        it = iter_dispatched()
+        prev = next(it, None)
+        while prev is not None:
+            # pipelined: dispatch N+1 BEFORE fetching N
+            nxt = next(it, None) if pipelined else None
+            chunk, (kind, payload, t0) = prev
+            results = (engine.fetch_windows(payload)
+                       if kind == "pending" else payload)
             batch_time.update((time.time() - t0) / len(chunk), len(chunk))
             for c, r in zip(chunk, results):
                 yield c, r
-            w += len(chunk)
+            prev = nxt if pipelined else next(it, None)
 
     for w, ((blur, s0_gt, s1_gt, sts_gt, items), res) in enumerate(
             _lookahead(iter_results())):

@@ -287,10 +287,23 @@ class InferenceEngine:
     # -------------------------------------------------------------- core
     def _run(self, frames: np.ndarray, ts: np.ndarray) -> List[WindowResult]:
         """frames [N,4,H,W,3], ts [N,M] -> per-window results."""
+        return self._fetch(self._dispatch(frames, ts))
+
+    def _dispatch(self, frames: np.ndarray, ts: np.ndarray):
+        """Async half of _run: enqueue the jitted forward and return
+        (device outputs, n, m) WITHOUT reading back. JAX dispatch is
+        asynchronous, so the caller can dispatch window chunk N+1 before
+        fetching N — the device computes while the host does readback +
+        metrics (round-4 VERDICT #8)."""
         n, m = ts.shape
-        out = jax.device_get(self._forward(self.variables,
-                                           jnp.asarray(frames),
-                                           jnp.asarray(ts)))
+        return (self._forward(self.variables, jnp.asarray(frames),
+                              jnp.asarray(ts)), n, m)
+
+    def _fetch(self, pending) -> List[WindowResult]:
+        """Blocking half of _run: read back a _dispatch result and pack
+        per-window WindowResults."""
+        dev_out, n, m = pending
+        out = jax.device_get(dev_out)
 
         def per_t(x):        # [N*M, H, W, C] -> [N, M, H, W, C]
             return x.reshape((n, m) + x.shape[1:])
@@ -412,6 +425,48 @@ class InferenceEngine:
                 for f in dataclasses.fields(WindowResult)}))
                 for wi in range(n)]
         return [trim(r) for r in self._run(frames, ts)]
+
+    def dispatch_windows(self, frames: np.ndarray, ts: np.ndarray,
+                         patch_boundary: int = 32):
+        """Async half of ``forward_windows``: enqueue the device work and
+        return an opaque handle for :meth:`fetch_windows`, or ``None``
+        when this call can't pipeline (the tiled fallback / f32-reroute
+        paths go through per-tile host logic) — the caller must then use
+        ``forward_windows`` directly. Dispatching chunk N+1 before
+        fetching N keeps the device busy during the tunnel readback +
+        host metrics of chunk N (round-4 VERDICT #8)."""
+        ts = np.asarray(ts, np.float32)
+        n, m = ts.shape
+        if self._route_f32_tpu(frames.shape[2], frames.shape[3],
+                               (1, 1), patch_boundary) != (1, 1):
+            return None
+        frames, ori_h, ori_w = _pad_reflect_to_multiple(
+            frames, max(patch_boundary, 1))
+        chunk = self._effective_t_chunk(frames.shape[2], frames.shape[3],
+                                        m, n_windows=n)
+        if chunk == 0:
+            return None
+        if chunk and m > chunk:
+            # t-chunked: every chunk enqueues now (programs run serially
+            # on-device; only the small fetched image outputs stay live)
+            pendings = [self._dispatch(frames, ts[:, i:i + chunk])
+                        for i in range(0, m, chunk)]
+        else:
+            pendings = [self._dispatch(frames, ts)]
+        return (pendings, n, ori_h, ori_w)
+
+    def fetch_windows(self, handle) -> List[WindowResult]:
+        """Blocking half of ``forward_windows`` for a
+        :meth:`dispatch_windows` handle (same return value/trim)."""
+        pendings, n, ori_h, ori_w = handle
+        parts = [self._fetch(p) for p in pendings]
+
+        def trim_cat(wi):
+            return WindowResult(**{
+                f.name: np.concatenate([getattr(p[wi], f.name)
+                                        for p in parts])[:, :ori_h, :ori_w]
+                for f in dataclasses.fields(WindowResult)})
+        return [trim_cat(i) for i in range(n)]
 
     def forward_window(self, frames: np.ndarray, ts: Sequence[float],
                        test_patch: Tuple[int, int] = (1, 1),

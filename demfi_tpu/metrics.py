@@ -20,6 +20,55 @@ def denorm255(x: np.ndarray) -> np.ndarray:
     return np.clip((x + 1.0) / 2.0, 0.0, 1.0) * 255.0
 
 
+def bf16_serving_label(psnr_bf16_vs_f32_db: float,
+                       operating_psnr_db: float = 34.28,
+                       budget_db: float = 0.05):
+    """Translate an on-chip PSNR(bf16 output vs f32 output) measurement
+    into the expected PSNR-vs-GT shift at the Table-2 operating point.
+
+    The BASELINE budget (BASELINE.json, 0.05 dB) is defined on PSNR
+    against ground truth; without the released checkpoint + datasets the
+    certifiable on-chip quantity is the fidelity of the bf16 serving
+    output against the f32 output on the same content
+    (scripts/measure_tpu.py --sections bf16db). Model the bf16 rounding
+    error as additive noise independent of the model's own GT error
+    (MSEs add):  shift = 10*log10(1 + 10^((operating - P)/10)), where
+    ``operating`` is the Table-2 rb(5,3) average PSNR
+    (/root/reference/figures/Table2.PNG, 34.28 dB Adobe240).
+
+    Returns (expected_shift_db, certified, label): ``certified`` iff the
+    expected shift is inside the budget; ``label`` is the headline
+    wording PERF.md/README must use either way.
+    """
+    shift = 10.0 * math.log10(
+        1.0 + 10.0 ** ((operating_psnr_db - psnr_bf16_vs_f32_db) / 10.0))
+    if shift < budget_db:
+        return shift, True, (
+            f"bf16 (expected PSNR shift {shift:.3f} dB vs f32 at the "
+            f"{operating_psnr_db:.2f} dB operating point — within the "
+            f"{budget_db} dB budget)")
+    return shift, False, (
+        f"bf16, −{shift:.2f} dB expected vs f32 at the "
+        f"{operating_psnr_db:.2f} dB operating point")
+
+
+def bf16_measured_label(shift_db: float, budget_db: float = 0.05):
+    """Label for the DIRECTLY measured PSNR shift: on content with an
+    independent reference signal, shift = PSNR(f32 output, ref) −
+    PSNR(bf16 output, ref). This is the quantity the BASELINE 0.05 dB
+    budget actually constrains (how much switching the serving dtype
+    moves a PSNR measurement); bf16_serving_label's modeled bound is the
+    fallback when no reference exists. Negative shifts (bf16 measuring
+    higher by luck) are inside the budget by definition.
+
+    Returns (certified, label).
+    """
+    if shift_db < budget_db:
+        return True, (f"bf16 (measured PSNR shift {shift_db:+.3f} dB vs "
+                      f"f32 — within the {budget_db} dB budget)")
+    return False, f"bf16, −{shift_db:.2f} dB measured PSNR shift vs f32"
+
+
 def crop_8x8(img: np.ndarray):
     """Reference API parity (utils.py:625-642): computes 32-multiple
     center-crop offsets but returns the image *uncropped* — the reference

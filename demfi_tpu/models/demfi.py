@@ -135,6 +135,9 @@ class FFRDB(nn.Module):
     num_rdb: int = 12
     n_convs: int = 4
     growth: int = 32
+    # remat each RDB block (fine-grained checkpointing: inter-RDB
+    # activations survive to the backward pass, intra-RDB ones recompute)
+    remat_rdb: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -145,9 +148,10 @@ class FFRDB(nn.Module):
         x = _conv(self.g0, 3, dtype=self.dtype, name="SFENet2")(f1)
 
         rdb_outs = []
+        rdb_cls = nn.remat(RDB) if self.remat_rdb else RDB
         for i in range(self.num_rdb):
-            x = RDB(self.g0, self.growth, self.n_convs, self.dtype,
-                    name=f"RDBs_{i}")(x)
+            x = rdb_cls(self.g0, self.growth, self.n_convs, self.dtype,
+                        name=f"RDBs_{i}")(x)
             rdb_outs.append(x)
         x = _conv(self.g0, 1, dtype=self.dtype, name="GFF_0")(
             jnp.concatenate(rdb_outs, axis=-1))
@@ -514,14 +518,21 @@ class DeMFINet(nn.Module):
     # rematerialize the RDB backbone in the backward pass (trades FLOPs
     # for HBM during training)
     remat: bool = False
+    # remat granularity: "backbone" wraps the whole FFRDB; "rdb" wraps
+    # each RDB block individually (keeps inter-RDB activations — less
+    # recompute in the backward pass at a higher HBM footprint)
+    remat_scope: str = "backbone"
     # carry normalized FGAC internals for --visualization_flag
     # (extra outputs; off on the hot path)
     viz_internals: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
-        ffrdb_cls = nn.remat(FFRDB) if self.remat else FFRDB
+        rdb_scope = self.remat and self.remat_scope == "rdb"
+        ffrdb_cls = (nn.remat(FFRDB) if self.remat and not rdb_scope
+                     else FFRDB)
         self.FF_RDB_Module = ffrdb_cls(self.nf, self.scale_factor,
+                                       remat_rdb=rdb_scope,
                                        dtype=self.dtype,
                                        name="FF_RDB_Module")
         self.FAC_FB_Module = FACFB(self.nf, self.num_res_facfb,
@@ -572,7 +583,18 @@ class DeMFINet(nn.Module):
 
     # ------------------------------------------------------ t-dependent
     def synthesize(self, ctx: StageIContext, t_value: Array,
-                   num_update: int) -> DeMFIOutputs:
+                   num_update: int, upto: Optional[str] = None
+                   ) -> DeMFIOutputs:
+        """t-dependent Stage I + Stage II (DeMFInet.py:46-179).
+
+        ``upto`` is a measurement-only hook (scripts/breakdown_tpu.py):
+        a static cut-point name that returns the prefix of the graph up
+        to and including that stage, so on-chip timing can attribute the
+        window budget by differencing consecutive prefixes (XLA
+        dead-code-eliminates everything past the cut). ``None`` (the
+        default and the only value used outside measurement) runs the
+        full graph. Cut order: cfr, ftblend, agg1, refine, rftblend, d1.
+        """
         nf = self.nf
         t = jnp.reshape(t_value.astype(jnp.float32), (-1, 1, 1, 1))
         b0 = ctx.frames[..., 0:3]
@@ -582,11 +604,15 @@ class DeMFINet(nn.Module):
         # routes CFR's forward warps through the bf16 one-hot MXU path
         flow_t0, flow_t1 = cfr_flow_t_align(ctx.flow_01, ctx.flow_10, t,
                                             compute_dtype=self.dtype)
+        if upto == "cfr":
+            return flow_t0, flow_t1
         occ_0 = nn.sigmoid(ctx.occ_0_logit.astype(jnp.float32))
         # features warp in their native dtype (bf16 rows gather exactly;
         # interpolation weights/accumulation are f32 inside bwarp)
         ft = _t_blend(*bwarp_pair(ctx.f0, ctx.f1, flow_t0, flow_t1),
                       occ_0, t)
+        if upto == "ftblend":
+            return ft
 
         # refinement (DeMFInet.py:77-87)
         agg1 = jnp.concatenate(
@@ -594,9 +620,13 @@ class DeMFINet(nn.Module):
              flow_t0.astype(self.dtype), flow_t1.astype(self.dtype),
              ctx.flow_01.astype(self.dtype), ctx.flow_10.astype(self.dtype),
              ctx.occ_0_logit.astype(self.dtype)], axis=-1)
+        if upto == "agg1":
+            return agg1
         agg1 = self.Refine_Module(agg1) + jnp.concatenate(
             [flow_t0.astype(self.dtype), flow_t1.astype(self.dtype),
              ctx.occ_0_logit.astype(self.dtype), ctx.a_f0, ctx.a_f1], axis=-1)
+        if upto == "refine":
+            return agg1
 
         rflow_t0 = agg1[..., 0:2].astype(jnp.float32)
         rflow_t1 = agg1[..., 2:4].astype(jnp.float32)
@@ -607,6 +637,8 @@ class DeMFINet(nn.Module):
 
         r_ft = _t_blend(*bwarp_pair(r_f0, r_f1, rflow_t0, rflow_t1),
                         occ_0, t).astype(self.dtype)
+        if upto == "rftblend":
+            return r_f0, r_f1, r_ft
 
         # D1: joint 3-frame decode (frames folded into batch)
         b, h, w, _ = r_f0.shape
@@ -617,6 +649,8 @@ class DeMFINet(nn.Module):
         out = nn.relu(self.Dec_last1(out))
         out = self.Dec_last2(out).reshape(b, 3, h, w, 3)
         s0p, s1p, stp = out[:, 0], out[:, 1], out[:, 2]
+        if upto == "d1":
+            return s0p, s1p, stp
 
         flow_init = jnp.concatenate([rflow_t0, rflow_t1], axis=-1)
 
@@ -737,6 +771,7 @@ def make_model(cfg: DeMFIConfig) -> DeMFINet:
         use_stage2=max(cfg.N_trn, cfg.N_tst) > 0,
         scan_booster=cfg.scan_booster,
         remat=cfg.remat_backbone,
+        remat_scope=cfg.remat_granularity,
         viz_internals=cfg.visualization_flag,
         dtype=dtype,
     )

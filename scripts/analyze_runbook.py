@@ -92,7 +92,10 @@ def main(out="tpu_reports"):
     # finding: a silent skip made a truncated measure.json look clean.
     required = ("fps_bf16", "window_x8_bf16_ms", "golden_bf16_ok",
                 "golden_f32_ok", "f32_352x640_finite",
-                "train_loss_finite_bf16", "train_loss_finite_f32")
+                "train_loss_finite_bf16", "train_loss_finite_f32",
+                # bf16 serving-mode dB certification (round-4 VERDICT #2)
+                "psnr_bf16_vs_f32_db", "bf16_measured_shift_db",
+                "bf16_headline_label")
     optional = ("fps_f32", "window_x8_f32_ms",
                 "golden_bf16_worst_absdiff", "golden_f32_worst_absdiff",
                 "train_step_b4_256_bf16_ms", "train_step_b2_256_f32_ms",

@@ -32,7 +32,19 @@ def main():
     ap.add_argument("--stages", type=str, default="warps,synth")
     ap.add_argument("--dtype", type=str, default="bfloat16")
     ap.add_argument("--out", type=str, default="")
+    ap.add_argument("--raw_flows", action="store_true",
+                    help="skip the flow-head calibration (time the "
+                         "random-init unbounded-motion fallbacks)")
     args = ap.parse_args()
+
+    def _calibrate(params, model, frames):
+        # production-representative motion (see bench.py / profiling.py:
+        # random-init flows reach ~76 px and drive every guarded warp
+        # onto its unbounded fallback — breakdown_r05_cuts.json)
+        if args.raw_flows:
+            return params, -1.0
+        from demfi_tpu.utils.profiling import calibrate_flow_head
+        return calibrate_flow_head(params, model, frames)
     h, w = (int(x) for x in args.res.split("x"))
     stages = set(args.stages.split(","))
 
@@ -178,6 +190,8 @@ def main():
             rng.uniform(-1, 1, (1, 4, h, w, 3)).astype(np.float32))
         params = model.init(jax.random.PRNGKey(0), frames[:, :, :64, :64],
                             jnp.zeros((1, 1)), num_update=1)
+        params, raw_max = _calibrate(params, model, frames)
+        put("raw_init_max_flow_px", raw_max)
         ts7 = jnp.asarray(np.linspace(1 / 8, 7 / 8, 7, dtype=np.float32))
 
         ctx = jax.jit(lambda p, f: model.apply(p, f, method=model.extract)
@@ -201,6 +215,42 @@ def main():
             dt = scalar_time(run, params, ctx7, ts7, floor=floor)
             put(f"synth_B7_N{n_up}_ms", dt * 1000)
 
+    if "synth0cut" in stages:
+        # Cumulative-prefix timing of the Stage-I graph (synthesize with
+        # the static ``upto`` measurement hook): consecutive differences
+        # attribute the synth_N0 budget INSIDE the fused graph, where
+        # isolated-op timings miss fusion boundaries and glue (the r05
+        # stage1 section left ~150 ms of synth_N0 unattributed).
+        from demfi_tpu.config import config_rb
+        from demfi_tpu.models import make_model
+
+        cfg = config_rb(5, 3, compute_dtype=args.dtype)
+        model = make_model(cfg)
+        frames = jnp.asarray(
+            rng.uniform(-1, 1, (1, 4, h, w, 3)).astype(np.float32))
+        params = model.init(jax.random.PRNGKey(0), frames[:, :, :64, :64],
+                            jnp.zeros((1, 1)), num_update=1)
+        params, _ = _calibrate(params, model, frames)
+        ts7 = jnp.asarray(np.linspace(1 / 8, 7 / 8, 7, dtype=np.float32))
+        ctx = jax.jit(lambda p, f: model.apply(p, f, method=model.extract)
+                      )(params, frames)
+        ctx7 = jax.device_put(jax.tree_util.tree_map(
+            lambda x: jnp.repeat(x, 7, axis=0), ctx))
+
+        prev = 0.0
+        for cut in ("cfr", "ftblend", "agg1", "refine", "rftblend",
+                    "d1", None):
+            def run(p, c, ts, cut=cut):
+                o = model.apply(p, c, ts[:, None], 0,
+                                method=model.synthesize, upto=cut)
+                return sum(jnp.sum(l.astype(jnp.float32)) for l in
+                           jax.tree_util.tree_leaves(o))
+            dt = scalar_time(run, params, ctx7, ts7, floor=floor) * 1000
+            name = cut or "full_n0"
+            put(f"cut_{name}_ms", dt)
+            put(f"cut_{name}_delta_ms", dt - prev)
+            prev = dt
+
     if "scanvs" in stages:
         # scan vs unrolled Stage-II at N=3: isolates the lax.scan
         # carry/const handling cost from the per-iteration math
@@ -218,6 +268,7 @@ def main():
             params = model.init(jax.random.PRNGKey(0),
                                 frames[:, :, :64, :64],
                                 jnp.zeros((1, 1)), num_update=1)
+            params, _ = _calibrate(params, model, frames)
             ctx = jax.jit(lambda p, f, m=model: m.apply(
                 p, f, method=m.extract))(params, frames)
             ctx7 = jax.device_put(jax.tree_util.tree_map(

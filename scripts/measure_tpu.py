@@ -26,6 +26,8 @@ try:
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 except Exception:
     pass
+if _os.environ.get("DEMFI_PLATFORM"):   # CPU smokes of new sections
+    _jax.config.update("jax_platforms", _os.environ["DEMFI_PLATFORM"])
 
 
 def main():
@@ -39,6 +41,11 @@ def main():
     ap.add_argument("--dtypes", type=str, default="bfloat16,float32")
     ap.add_argument("--merge", action="store_true",
                     help="start from the existing --out file if present")
+    ap.add_argument("--bd_patch", type=int, default=256,
+                    help="trainbd section: training crop size (default "
+                         "= the reference's 256; small for CPU smokes)")
+    ap.add_argument("--bd_batch", type=int, default=4,
+                    help="trainbd section: per-chip batch")
     ap.add_argument("--t_map", action="store_true",
                     help="model section: run the 7 instants via lax.map "
                          "at B=1 instead of one B=7 batch (720p x8 at "
@@ -199,6 +206,12 @@ def main():
         model = make_model(cfg)
         params = model.init(jax.random.PRNGKey(0), frames[:, :, :64, :64],
                             jnp.zeros((1, 1)), num_update=1)
+        # production-representative motion (bench.py rationale): the
+        # random-init ~76 px flows otherwise time the unbounded quad
+        # fallbacks a trained checkpoint never hits
+        from demfi_tpu.utils.profiling import calibrate_flow_head
+        params, raw_max = calibrate_flow_head(params, model, frames)
+        put("raw_init_max_flow_px", raw_max)
         tag = "bf16" if dt_name == "bfloat16" else "f32"
 
         put(f"extract_{tag}_ms", scalar_time(
@@ -315,6 +328,111 @@ def main():
         put("f32check_error", _err_text(e))
         jax.clear_caches()
 
+    if "bf16db" in sections:
+      try:
+        # bf16 serving-mode certification in dB (round-4 VERDICT #2):
+        # every headline fps number is bf16, but the 0.05 dB BASELINE
+        # budget had only been demonstrated for f32. Run textured
+        # synthetic windows (structured gratings + fine texture + real
+        # inter-frame motion) through the REAL serving path (the
+        # InferenceEngine, fetch="images") in f32 and bf16 with
+        # identical parameters, and record PSNR(bf16 vs f32) on the
+        # denormalized outputs. metrics.bf16_serving_label translates
+        # that into the expected PSNR-vs-GT shift at the Table-2
+        # operating point (independent-noise model; see its docstring)
+        # and the headline wording PERF.md/README must carry.
+        # Caveat recorded with the number: parameters are seeded-init
+        # (the released checkpoint blob is not mounted), so this
+        # certifies the serving *computation*, not the trained weights.
+        from demfi_tpu.infer.engine import InferenceEngine
+        from demfi_tpu.metrics import bf16_serving_label, denorm255, psnr
+
+        def textured_window(k, t_list):
+            """4 input frames (global translation over a textured base)
+            plus per-instant sharp reference crops at t in t_list and at
+            t=0 / t=1 — an independent structured reference signal for
+            the measured-PSNR-shift gate."""
+            r = np.random.RandomState(100 + k)
+            hh, ww = h + 64, w + 64
+            yy, xx = np.mgrid[0:hh, 0:ww].astype(np.float32)
+            base = np.zeros((hh, ww, 3), np.float32)
+            for _ in range(6):
+                fy, fx = r.uniform(0.02, 0.45, 2)
+                ph_ = r.uniform(0, 2 * np.pi, 3).astype(np.float32)
+                base += (np.sin(fy * yy[..., None] + fx * xx[..., None]
+                                + ph_)
+                         * r.uniform(0.08, 0.25)).astype(np.float32)
+            base += r.uniform(-0.15, 0.15, base.shape).astype(np.float32)
+            base = np.clip(base, -1, 1)
+            vel = r.uniform(-5, 5, 2)
+
+            def crop(tpos):
+                oy = 32 + int(round(vel[0] * tpos))
+                ox = 32 + int(round(vel[1] * tpos))
+                return base[oy:oy + h, ox:ox + w]
+
+            win = np.stack([crop(tp) for tp in (0.0, 1.0, -1.0, 2.0)])
+            refs = {"st": np.stack([crop(float(tp)) for tp in t_list]),
+                    "s0": crop(0.0), "s1": crop(1.0)}
+            return win[None].astype(np.float32), refs
+
+        cfg32 = config_rb(5, 3, compute_dtype="float32",
+                          scan_booster=False)
+        mdl32 = make_model(cfg32)
+        var = mdl32.init(jax.random.PRNGKey(7),
+                         jnp.zeros((1, 4, 64, 64, 3)), jnp.zeros((1, 1)),
+                         num_update=1)
+        mdl16 = make_model(config_rb(5, 3, compute_dtype="bfloat16",
+                                     scan_booster=False))
+        from demfi_tpu.utils.profiling import calibrate_flow_head
+        var, _ = calibrate_flow_head(
+            var, mdl32, jnp.asarray(textured_window(
+                0, np.linspace(1 / 8, 7 / 8, 7))[0]))
+        # param_dtype is f32 in both models: identical variables serve
+        # both engines — the ONLY difference is the compute dtype
+        eng = {"f32": InferenceEngine(mdl32, var, 3, fetch="images"),
+               "bf16": InferenceEngine(mdl16, var, 3, fetch="images")}
+        ts_np = np.linspace(1 / 8, 7 / 8, 7, dtype=np.float32)[None]
+
+        fields = ("st_final", "s0_final", "s1_final", "st_prime")
+        ref_of = {"st_final": "st", "st_prime": "st",
+                  "s0_final": "s0", "s1_final": "s1"}
+        vals = {f: [] for f in fields}   # PSNR(bf16 out, f32 out)
+        shifts = []                      # PSNR(f32, ref) - PSNR(bf16, ref)
+        for k in range(3):
+            win, refs = textured_window(k, ts_np[0])
+            res = {tag: e.forward_windows(win, ts_np)[0]
+                   for tag, e in eng.items()}
+            for f in fields:
+                o32 = denorm255(getattr(res["f32"], f))
+                o16 = denorm255(getattr(res["bf16"], f))
+                vals[f].append(psnr(o16, o32))
+                ref = denorm255(refs[ref_of[f]])
+                if ref.ndim == 3:
+                    ref = np.broadcast_to(ref, o32.shape)
+                shifts.append(psnr(o32, ref) - psnr(o16, ref))
+        put("psnr_bf16_vs_f32_db_by_field",
+            {f: float(np.mean(v)) for f, v in vals.items()})
+        p_all = [v for vs in vals.values() for v in vs]
+        put("psnr_bf16_vs_f32_db", float(np.mean(vals["st_final"])))
+        put("psnr_bf16_vs_f32_db_min", float(np.min(p_all)))
+        put("bf16_expected_shift_db", bf16_serving_label(
+            float(np.min(p_all)))[0])
+        # the gate: the DIRECTLY measured PSNR shift on independent
+        # structured references (what the 0.05 dB budget constrains)
+        from demfi_tpu.metrics import bf16_measured_label
+        shift_m = float(np.mean(shifts))
+        put("bf16_measured_shift_db", shift_m)
+        put("bf16_measured_shift_db_max", float(np.max(shifts)))
+        certified_m, label_m = bf16_measured_label(shift_m)
+        put("bf16_certified_005db", bool(certified_m))
+        put("bf16_headline_label", label_m)
+        eng = res = var = mdl32 = mdl16 = None  # noqa: F841
+        jax.clear_caches()
+      except Exception as e:
+        put("bf16db_error", _err_text(e))
+        jax.clear_caches()
+
     if "train" in sections:
         # The train step is the largest-footprint program in the suite;
         # the earlier sections' live arrays (full f32 outputs pytree,
@@ -381,6 +499,98 @@ def main():
                 put(f"train_loss_finite_{tag}",
                     bool(np.isfinite(float(m["total_loss"]))))
                 break
+
+    if "trainbd" in sections:
+        # Train-side breakdown (round-4 VERDICT #3): where does the
+        # ~1 s b4 256^2 bf16 step go? Sections: forward+loss only,
+        # forward+backward, optimizer-only, full step; then A/Bs for
+        # the knobs that shape the train graph (booster scan vs unroll,
+        # remat granularity backbone vs per-RDB vs none). Each config
+        # is isolated in try/except and frees its arrays (the train
+        # graphs are the largest-footprint programs in the suite).
+        out = bad = params = model = cfg = None  # noqa: F841
+        frames = ts7 = x64 = flo = x2 = None  # noqa: F841
+        jax.clear_caches()
+        import dataclasses as _dc
+
+        import optax
+        from demfi_tpu.train import (create_train_state, demfi_loss,
+                                     make_train_step)
+
+        bp, bb = args.bd_patch, args.bd_batch
+
+        def mk_cfg(scan, remat, gran):
+            c = config_rb(5, 3, compute_dtype="bfloat16", batch_size=bb,
+                          patch_size=bp, remat_backbone=remat)
+            return _dc.replace(c, scan_booster=scan,
+                               remat_granularity=gran)
+
+        def probe(tag, scan=True, remat=False, gran="backbone",
+                  parts=False):
+            try:
+                tcfg = mk_cfg(scan, remat, gran)
+                tmodel = make_model(tcfg)
+                state, tx = create_train_state(
+                    tcfg, tmodel, jax.random.PRNGKey(0),
+                    sample_shape=(1, 4, bp, bp, 3))
+                tb = jnp.asarray(rng.uniform(
+                    -1, 1, (bb, 9, bp, bp, 3)).astype(np.float32))
+                tt = jnp.full((bb, 1), 0.375, jnp.float32)
+
+                def fwd(params, fr, t_):
+                    o = tmodel.apply(params, fr[:, :4], t_,
+                                     num_update=tcfg.N_trn)
+                    loss, _ = demfi_loss(tcfg, o, fr[:, 5], fr[:, 6],
+                                         fr[:, 4])
+                    return loss
+
+                if parts:
+                    put(f"trainbd_{tag}_fwd_ms", scalar_time(
+                        fwd, state.params, tb, tt, floor=floor) * 1000)
+                    put(f"trainbd_{tag}_fwdbwd_ms", scalar_time(
+                        lambda p, fr, t_: jax.grad(fwd)(p, fr, t_),
+                        state.params, tb, tt, floor=floor) * 1000)
+                    # optimizer-only: Adam moments + L2 + apply on real
+                    # grad shapes (params stay donated-free here)
+                    grads = jax.jit(jax.grad(fwd))(state.params, tb, tt)
+                    put(f"trainbd_{tag}_opt_ms", scalar_time(
+                        lambda g, s, p: optax.apply_updates(
+                            p, tx.update(g, s, p)[0]),
+                        grads, state.opt_state, state.params,
+                        floor=floor) * 1000)
+                    grads = None
+                    jax.clear_caches()
+
+                # full step, timed exactly like the train section
+                step = make_train_step(tcfg, tmodel, tx)
+                st2, m = step(state, tb, tt)
+                float(m["total_loss"])
+                t0 = time.time()
+                k = max(2, args.iters // 2)
+                for _ in range(k):
+                    st2, m = step(st2, tb, tt)
+                    float(m["total_loss"])
+                dt_step = (time.time() - t0) / k
+                put(f"trainbd_{tag}_step_ms", dt_step * 1000)
+                return dt_step
+            except Exception as e:
+                put(f"trainbd_{tag}_error", _err_text(e))
+                return None
+            finally:
+                jax.clear_caches()
+
+        # main config = the train section's headline rung
+        dt_main = probe("scan", scan=True, remat=False, parts=True)
+        probe("unroll", scan=False, remat=False)
+        probe("remat_backbone", scan=True, remat=True)
+        probe("remat_rdb", scan=True, remat=True, gran="rdb")
+        if dt_main:
+            # effective throughput: fwd+bwd ~= 3x forward FLOPs; the
+            # forward at 256^2 b4 N_trn=5 is ~3.2 TFLOP (1.71 TFLOP is
+            # 640x352 N=3 — scale by pixels and boost count)
+            fwd_tflop = 1.71 * (bp * bp * bb) / (640 * 352) * (
+                (573 + 5 * 123) / (573 + 3 * 123))  # N=5 vs N=3 windows
+            put("trainbd_est_tflops_per_s", 3 * fwd_tflop / dt_main)
 
     print(json.dumps(report, indent=1))
     if args.out:

@@ -99,6 +99,37 @@ def control_manual_dma():
     )(x)
 
 
+def gather_minimal():
+    """Minimal slice of the _gather_kernel construct (round-4 VERDICT
+    #9 minimization): ONE when-guarded iota-compare one-hot matmul —
+    no row-pair loop, no source views, no accumulation grid. If this
+    compiles while bwarp_tpu 500s, the helper failure is PROGRAM SIZE
+    (the 16 row-pairs x 3 views unrolled whens), not the construct."""
+    from jax.experimental import pallas as pl
+
+    def kern(px_ref, img_ref, o_ref):
+        px = px_ref[...]
+        x0 = jnp.floor(px).astype(jnp.int32)
+        fx = (px - jnp.floor(px)).astype(jnp.float32)
+        k_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128, 128), 2)
+        a = (jnp.where(k_iota == x0[:, :, None], 1.0 - fx[:, :, None], 0.0)
+             + jnp.where(k_iota == x0[:, :, None] + 1, fx[:, :, None], 0.0))
+
+        @pl.when(jnp.any(x0 >= 0))
+        def _():
+            g = jnp.dot(a.reshape(8 * 128, 128), img_ref[...],
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
+            o_ref[...] = g.reshape(8, 128, 64)
+
+    px = jnp.abs(jnp.ones((8, 128), jnp.float32) * 13.3)
+    img = jnp.ones((128, 64), jnp.float32)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((8, 128, 64), jnp.float32),
+    )(px, img)
+
+
 def main() -> None:
     report = {"backend": jax.default_backend(),
               "jax": jax.__version__}
@@ -120,6 +151,20 @@ def main() -> None:
     _try("fwarp_tpu", lambda: fwarp_tpu(x2, flo), report)
     _try("bilinear_sample_abs_tpu",
          lambda: bilinear_sample_abs_tpu(x64, coords), report)
+
+    # minimization ladder for the gather-kernel HTTP 500 (VERDICT r4 #9):
+    # construct alone -> small unrolled program -> shipped default.
+    # wall_s matters as much as ok: the helper dies after ~85 s, so a
+    # small-slab pass with a long wall says "compile-time blowup".
+    _try("gather_minimal", gather_minimal, report)
+    from demfi_tpu.ops.pallas_kernels import bilinear_gather_tpu
+    gx = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    gy = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+    coords_rel = jnp.stack([gx + flo[..., 0], gy + flo[..., 1]], axis=-1)
+    _try("bwarp_small_slab",
+         lambda: bilinear_gather_tpu(x64, coords_rel, relative=True,
+                                     vr=8, block_rows=8, slab_rows=8),
+         report)
 
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "tpu_reports", "pallas_diag.json")

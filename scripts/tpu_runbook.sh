@@ -33,7 +33,7 @@ print(jax.devices())" || { echo "TPU unhealthy; aborting"; exit 1; }
 
 echo "--- measurement suite (352x640, incl. on-chip golden probe + f32 NaN check + train step)"
 MEASURE_CMD="python scripts/measure_tpu.py --res 352x640 \
-    --sections basic,ops,pallas,model,golden,f32check,train \
+    --sections basic,ops,pallas,model,golden,f32check,bf16db,train \
     --out $OUT/measure.json"
 timeout 3600 $MEASURE_CMD || echo "measure failed (continuing)"
 # required-key gate (round-3 advisor): a relay hiccup can truncate the
@@ -41,7 +41,9 @@ timeout 3600 $MEASURE_CMD || echo "measure failed (continuing)"
 if ! python - "$OUT/measure.json" <<'EOF'
 import json, sys
 need = ("fps_bf16", "golden_bf16_ok", "golden_f32_ok",
-        "f32_352x640_finite", "train_loss_finite_bf16")
+        "f32_352x640_finite", "train_loss_finite_bf16",
+        "psnr_bf16_vs_f32_db", "bf16_measured_shift_db",
+        "bf16_headline_label")
 try:
     m = json.load(open(sys.argv[1]))
 except Exception:
@@ -61,11 +63,9 @@ echo "--- bench bf16 352x640"
 timeout 2400 python bench.py --res 352x640 --dtype bfloat16 \
     | tee "$OUT/bench_352x640_bf16.json" || true
 
-echo "--- formulation A/Bs at 352x640 (round-4 defaults vs prior forms, end-to-end)"
-timeout 2400 env DEMFI_GRU_CONCAT=0 python bench.py --res 352x640 \
-    --dtype bfloat16 | tee "$OUT/bench_352x640_bf16_gruSplit.json" || true
-timeout 2400 env DEMFI_BWARP_ONEHOT_D=0 python bench.py --res 352x640 \
-    --dtype bfloat16 | tee "$OUT/bench_352x640_bf16_noBwOnehot.json" || true
+echo "--- motion-calibration A/B at 352x640 (round-5: calibrated headline vs raw-init fallback path)"
+timeout 2400 python bench.py --res 352x640 --dtype bfloat16 --raw_flows \
+    | tee "$OUT/bench_352x640_bf16_rawflows.json" || true
 
 echo "--- bench bf16 720p (the BASELINE headline geometry; auto t_map)"
 timeout 3600 python bench.py --res 720x1280 --dtype bfloat16 \
@@ -88,9 +88,21 @@ echo "--- variant lab: agg3 lane-pad A/B (VERDICT r3 item 5 candidate)"
 timeout 1800 python scripts/variant_lab.py --sections pad \
     --out "$OUT/variant_lab_pad.json" || true
 
-echo "--- fresh stage breakdown (re-rank Stage-II glue post tiered fwarp)"
+echo "--- fresh stage breakdown (incl. Stage-I cumulative prefixes)"
 timeout 3600 python scripts/breakdown_tpu.py --res 352x640 \
-    --stages warps,synth --out "$OUT/breakdown.json" || true
+    --stages warps,synth,stage1,synth0cut \
+    --out "$OUT/breakdown.json" || true
+
+echo "--- train-side breakdown (fwd/bwd/opt split + scan/unroll + remat granularity)"
+timeout 3600 python scripts/measure_tpu.py --res 352x640 \
+    --sections trainbd --merge --out "$OUT/measure.json" || true
+
+echo "--- eval dispatch-overlap probe (two-deep pipeline A/B vs device time)"
+timeout 2400 python scripts/eval_overlap_probe.py --res 352x640 \
+    --windows 4 --out "$OUT/eval_overlap.json" || true
+
+echo "--- pallas compile-helper diagnosis (incl. gather-500 minimization ladder)"
+timeout 2400 python scripts/pallas_diag.py || true
 
 echo "--- e2e CLI smoke on-chip (full --phase test_custom surface, both dtypes)"
 timeout 1800 python scripts/e2e_tpu_smoke.py --res 192x320 \

@@ -73,3 +73,49 @@ def test_orbax_manager_roundtrip(tmp_path):
     got2, _, _ = em.load_best_psnr(params, opt)
     np.testing.assert_array_equal(np.asarray(got2["params"]["b"]),
                                   np.ones((2, 3)))
+
+
+def test_calibrate_flow_head_exact_scaling():
+    """calibrate_flow_head rescales ONLY the flow output channels, the
+    scaling is exact (flows are linear in those kernel slices), and the
+    non-flow outputs are untouched — so calibrated benchmarking times
+    the same graph at a trained checkpoint's motion range."""
+    import jax
+    import jax.numpy as jnp
+
+    from demfi_tpu.config import config_rb
+    from demfi_tpu.models import make_model
+    from demfi_tpu.utils.profiling import calibrate_flow_head
+
+    model = make_model(config_rb(1, 1, compute_dtype="float32"))
+    rng = np.random.RandomState(0)
+    frames = jnp.asarray(rng.uniform(-1, 1, (1, 4, 32, 64, 3)),
+                         jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), frames, jnp.zeros((1, 1)),
+                        num_update=1)
+    ctx0 = model.apply(params, frames, method=model.extract)
+    m0 = float(max(np.abs(np.asarray(ctx0.flow_01)).max(),
+                   np.abs(np.asarray(ctx0.flow_10)).max()))
+    target = m0 / 3.0   # force a rescale regardless of init magnitudes
+    params2, raw = calibrate_flow_head(params, model, frames,
+                                       target=target)
+    assert raw == pytest.approx(m0)
+    ctx1 = model.apply(params2, frames, method=model.extract)
+    s = target / m0
+    # s*(sum k_i x_i) vs sum (s*k_i) x_i re-associates the f32 conv
+    # accumulation: tolerance is relative to the ~60 px flow magnitudes
+    np.testing.assert_allclose(np.asarray(ctx1.flow_01),
+                               np.asarray(ctx0.flow_01) * s,
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(ctx1.flow_10),
+                               np.asarray(ctx0.flow_10) * s,
+                               rtol=1e-4, atol=1e-3)
+    # everything that is not a flow channel is bit-identical
+    np.testing.assert_array_equal(np.asarray(ctx1.f0),
+                                  np.asarray(ctx0.f0))
+    np.testing.assert_array_equal(np.asarray(ctx1.occ_0_logit),
+                                  np.asarray(ctx0.occ_0_logit))
+    # already-in-range params come back unchanged
+    params3, _ = calibrate_flow_head(params2, model, frames,
+                                     target=target * 10)
+    assert params3 is params2

@@ -112,6 +112,37 @@ def test_psnr_reference_values():
     assert metrics.psnr(a, a) == float("inf")
 
 
+def test_bf16_serving_label():
+    """Pins the bf16 headline labeling (round-4 VERDICT #2): the wording
+    PERF.md/README carry is derived from the on-chip
+    psnr_bf16_vs_f32_db measurement by exactly this function."""
+    # independent-noise model: shift = 10*log10(1 + 10^((op - P)/10))
+    shift, ok, label = metrics.bf16_serving_label(54.0,
+                                                  operating_psnr_db=34.0)
+    np.testing.assert_allclose(shift, 10 * np.log10(1 + 10 ** -2),
+                               rtol=1e-12)
+    assert ok and "within" in label
+    # a bf16-vs-f32 fidelity only 10 dB above the operating point costs
+    # ~0.41 dB -> must NOT certify, and the label carries the number
+    shift, ok, label = metrics.bf16_serving_label(44.0,
+                                                  operating_psnr_db=34.0)
+    assert not ok
+    assert f"−{shift:.2f} dB" in label
+    # boundary: the 0.05 dB budget flips between P = op+19.3 (shift
+    # 0.0507) and P = op+19.4 (shift 0.0496)
+    assert metrics.bf16_serving_label(34.28 + 19.4)[1] is True
+    assert metrics.bf16_serving_label(34.28 + 19.3)[1] is False
+
+    # directly measured shift (the gate measure_tpu --sections bf16db
+    # certifies on): strict < budget; negative = inside by definition
+    ok, label = metrics.bf16_measured_label(0.049)
+    assert ok and "+0.049 dB" in label
+    ok, label = metrics.bf16_measured_label(-0.2)
+    assert ok
+    ok, label = metrics.bf16_measured_label(0.31)
+    assert not ok and "−0.31 dB" in label
+
+
 def test_ssim_matches_skimage_style_known_value():
     rng = np.random.RandomState(0)
     a = rng.uniform(0, 255, (64, 64, 3))
@@ -154,6 +185,31 @@ def test_forward_windows_matches_per_window(engine):
                                    atol=5e-5)
         np.testing.assert_allclose(batched[i].s0_prime, single.s0_prime,
                                    atol=5e-5)
+
+
+def test_dispatch_fetch_matches_forward_windows(engine):
+    """The async dispatch/fetch split (two-deep eval pipeline, round-4
+    VERDICT #8) must return exactly what forward_windows returns —
+    including two handles in flight at once, and the reflect-pad trim
+    on non-multiple frame dims."""
+    import dataclasses
+    _, _, eng = engine
+    rng = np.random.RandomState(6)
+    frames = rng.uniform(-1, 1, (2, 4, 33, 41, 3)).astype(np.float32)
+    ts = np.tile(np.array([[0.25, 0.75]], np.float32), (2, 1))
+    want = eng.forward_windows(frames, ts, patch_boundary=8)
+    h1 = eng.dispatch_windows(frames, ts, patch_boundary=8)
+    h2 = eng.dispatch_windows(frames[::-1].copy(), ts, patch_boundary=8)
+    assert h1 is not None and h2 is not None
+    got = eng.fetch_windows(h1)
+    got2 = eng.fetch_windows(h2)
+    for i in range(2):
+        for f in dataclasses.fields(got[i]):
+            np.testing.assert_array_equal(
+                getattr(got[i], f.name), getattr(want[i], f.name),
+                err_msg=f.name)
+        np.testing.assert_array_equal(got2[i].st_final,
+                                      want[1 - i].st_final)
 
 
 def test_mesh_sharded_engine_matches_unsharded(engine):

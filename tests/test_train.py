@@ -112,6 +112,16 @@ def test_remat_matches_no_remat():
     lb = jax.tree_util.tree_leaves(gb)[0]
     np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=1e-6)
 
+    # per-RDB granularity: identical param tree, values, and gradients
+    cfg_c = dc.replace(cfg_b, remat_granularity="rdb")
+    mc = make_model(cfg_c)
+    oc = mc.apply(pa, frames, t, num_update=1)
+    np.testing.assert_allclose(np.asarray(oa.st_final),
+                               np.asarray(oc.st_final), atol=1e-6)
+    gc = jax.grad(lambda p: jnp.sum(mc.apply(p, frames, t, 1).st_final))(pa)
+    lc = jax.tree_util.tree_leaves(gc)[0]
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lc), atol=1e-6)
+
 
 def test_lr_types():
     import dataclasses as dc
