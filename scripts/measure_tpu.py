@@ -526,7 +526,7 @@ def main():
                                remat_granularity=gran)
 
         def probe(tag, scan=True, remat=False, gran="backbone",
-                  parts=False):
+                  parts=False, calib=True):
             try:
                 tcfg = mk_cfg(scan, remat, gran)
                 tmodel = make_model(tcfg)
@@ -536,6 +536,17 @@ def main():
                 tb = jnp.asarray(rng.uniform(
                     -1, 1, (bb, 9, bp, bp, 3)).astype(np.float32))
                 tt = jnp.full((bb, 1), 0.375, jnp.float32)
+                if calib:
+                    # steady-state training regime: bounded flows ride
+                    # the one-hot warp rungs (the train graph's
+                    # lax.switch picks rungs at RUNTIME, so step time
+                    # depends on the flow magnitudes — random init =
+                    # early-training worst case on the quad fallbacks)
+                    from demfi_tpu.utils.profiling import \
+                        calibrate_flow_head
+                    p2, _ = calibrate_flow_head(state.params, tmodel,
+                                                tb[:1, :4])
+                    state = state.replace(params=p2)
 
                 def fwd(params, fr, t_):
                     o = tmodel.apply(params, fr[:, :4], t_,
@@ -584,6 +595,7 @@ def main():
         probe("unroll", scan=False, remat=False)
         probe("remat_backbone", scan=True, remat=True)
         probe("remat_rdb", scan=True, remat=True, gran="rdb")
+        probe("scan_rawinit", scan=True, remat=False, calib=False)
         if dt_main:
             # effective throughput: fwd+bwd ~= 3x forward FLOPs; the
             # forward at 256^2 b4 N_trn=5 is ~3.2 TFLOP (1.71 TFLOP is
