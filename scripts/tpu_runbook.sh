@@ -25,11 +25,20 @@ if [ -n "${PYPID:-}" ] && kill -0 "$PYPID" 2>/dev/null; then
 fi
 
 echo "--- health check"
-timeout 90 python -c "
+# fresh relay connections can take minutes when the relay is loaded
+# (2026-08-19: probes timed out at 90 s while a held connection worked
+# fine) — retry 3x with a generous budget before declaring it wedged
+HEALTHY=0
+for _try in 1 2 3; do
+  if timeout 300 python -c "
 import time, numpy as np, jax, jax.numpy as jnp
 t0=time.time(); y=jax.jit(lambda a:a+1)(jnp.ones((8,8)))
 print('TPU alive:', float(np.asarray(y).sum()), f'{time.time()-t0:.1f}s')
-print(jax.devices())" || { echo "TPU unhealthy; aborting"; exit 1; }
+print(jax.devices())"; then HEALTHY=1; break; fi
+  echo "--- health probe $_try timed out; retrying"
+  sleep 60
+done
+[ "$HEALTHY" = "1" ] || { echo "TPU unhealthy; aborting"; exit 1; }
 
 echo "--- measurement suite (352x640, incl. on-chip golden probe + f32 NaN check + train step)"
 MEASURE_CMD="python scripts/measure_tpu.py --res 352x640 \
